@@ -1,0 +1,295 @@
+"""Property/oracle tests for tpu3d.ops (run on CPU; see conftest)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu3d import ops
+from tpu3d.kitti import boxes as npboxes
+
+
+# ---------------------------------------------------------------- rotated IoU
+
+def _mc_intersection(box_a, box_b, n=200_000, seed=0):
+    """Monte-Carlo intersection area of two BEV5 boxes (independent oracle)."""
+    rng = np.random.default_rng(seed)
+    all_c = np.concatenate(
+        [npboxes.corners_from_boxes3d(_bev5_to_box7(b)) for b in (box_a, box_b)]
+    )[:, :, [0, 2]].reshape(-1, 2)
+    lo, hi = all_c.min(0) - 0.1, all_c.max(0) + 0.1
+    pts2 = rng.uniform(lo, hi, size=(n, 2))
+    pts3 = np.stack([pts2[:, 0], -np.ones(n) * 0.5, pts2[:, 1]], axis=1)
+    in_a = npboxes.points_in_boxes3d(pts3, _bev5_to_box7(box_a))[:, 0]
+    in_b = npboxes.points_in_boxes3d(pts3, _bev5_to_box7(box_b))[:, 0]
+    area = np.prod(hi - lo)
+    return area * np.mean(in_a & in_b)
+
+
+def _bev5_to_box7(b5):
+    xc, zc, l, w, ry = b5
+    return np.array([[xc, 0.0, zc, 2.0, w, l, ry]], dtype=np.float64)
+
+
+def test_rotated_iou_axis_aligned():
+    a = jnp.array([[0.0, 0.0, 4.0, 2.0, 0.0]])
+    b = jnp.array([[1.0, 0.0, 4.0, 2.0, 0.0], [10.0, 10.0, 4.0, 2.0, 0.0]])
+    iou = np.asarray(ops.rotated_overlap_bev(a, b, criterion=-1))
+    # overlap = 3x2=6, union = 8+8-6=10
+    assert iou[0, 0] == pytest.approx(0.6, abs=1e-5)
+    assert iou[0, 1] == 0.0
+
+
+def test_rotated_iou_45_degrees():
+    # unit square vs itself rotated 45°: known intersection = 2*(sqrt2-1)
+    a = jnp.array([[0.0, 0.0, 1.0, 1.0, 0.0]])
+    b = jnp.array([[0.0, 0.0, 1.0, 1.0, math.pi / 4]])
+    inter = float(ops.rotated_overlap_bev(a, b, criterion=-2)[0, 0])
+    assert inter == pytest.approx(2 * (math.sqrt(2) - 1), abs=1e-5)
+
+
+def test_rotated_iou_contained():
+    a = jnp.array([[0.0, 0.0, 4.0, 4.0, 0.3]])
+    b = jnp.array([[0.0, 0.0, 1.0, 1.0, 1.2]])  # fully inside
+    inter = float(ops.rotated_overlap_bev(a, b, criterion=-2)[0, 0])
+    assert inter == pytest.approx(1.0, abs=1e-5)
+    # criterion 1: inter / area_b = 1
+    c1 = float(ops.rotated_overlap_bev(a, b, criterion=1)[0, 0])
+    assert c1 == pytest.approx(1.0, abs=1e-5)
+
+
+def test_rotated_iou_identical():
+    a = jnp.array([[1.0, 2.0, 3.9, 1.6, 0.7]])
+    iou = float(ops.rotated_overlap_bev(a, a, criterion=-1)[0, 0])
+    assert iou == pytest.approx(1.0, abs=1e-5)
+
+
+def test_rotated_iou_vs_numpy_and_montecarlo(rng):
+    boxes_a = np.stack(
+        [
+            rng.uniform(-5, 5, 8),
+            rng.uniform(-5, 5, 8),
+            rng.uniform(1, 5, 8),
+            rng.uniform(1, 3, 8),
+            rng.uniform(-math.pi, math.pi, 8),
+        ],
+        axis=1,
+    )
+    boxes_b = np.stack(
+        [
+            rng.uniform(-5, 5, 6),
+            rng.uniform(-5, 5, 6),
+            rng.uniform(1, 5, 6),
+            rng.uniform(1, 3, 6),
+            rng.uniform(-math.pi, math.pi, 6),
+        ],
+        axis=1,
+    )
+    jax_iou = np.asarray(
+        ops.rotated_overlap_bev(jnp.asarray(boxes_a, jnp.float32),
+                                jnp.asarray(boxes_b, jnp.float32), criterion=-1)
+    )
+    np_iou = ops.rotated_iou_bev_numpy(boxes_a, boxes_b, criterion=-1)
+    np.testing.assert_allclose(jax_iou, np_iou, atol=2e-4)
+    # Monte-Carlo spot check on the largest-overlap pair
+    i, j = np.unravel_index(np.argmax(np_iou), np_iou.shape)
+    if np_iou[i, j] > 0.05:
+        inter_mc = _mc_intersection(boxes_a[i], boxes_b[j])
+        inter_np = ops.rotated_iou_bev_numpy(
+            boxes_a[i:i + 1], boxes_b[j:j + 1], criterion=-2)[0, 0]
+        assert inter_np == pytest.approx(inter_mc, rel=0.03)
+
+
+def test_boxes_iou3d_height_overlap():
+    # identical BEV, y-extents half overlapping
+    a = jnp.array([[0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0]])
+    b = jnp.array([[0.0, 1.0, 0.0, 2.0, 2.0, 2.0, 0.0]])  # shifted down 1m
+    iou = float(ops.boxes_iou3d(a, b)[0, 0])
+    # inter = 4 (bev) * 1 (h) = 4; union = 8+8-4 = 12
+    assert iou == pytest.approx(4.0 / 12.0, abs=1e-5)
+    got = ops.boxes_iou3d_numpy(np.asarray(a), np.asarray(b))[0, 0]
+    assert got == pytest.approx(4.0 / 12.0, abs=1e-9)
+
+
+# ----------------------------------------------------------------------- NMS
+
+def test_nms_rotated_vs_numpy(rng):
+    n = 64
+    boxes = np.stack(
+        [
+            rng.uniform(-20, 20, n),
+            rng.uniform(0, 40, n),
+            rng.uniform(2, 5, n),
+            rng.uniform(1, 2.5, n),
+            rng.uniform(-math.pi, math.pi, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    ref = ops.nms_numpy(boxes, scores, 0.3, rotated=True)
+    idx, keep = ops.nms_rotated(jnp.asarray(boxes), jnp.asarray(scores), 0.3, 32)
+    got = np.asarray(idx)[np.asarray(keep)]
+    np.testing.assert_array_equal(got, ref[: len(got)])
+    assert len(got) == min(len(ref), 32)
+
+
+def test_nms_normal_vs_numpy(rng):
+    n = 48
+    boxes = np.stack(
+        [
+            rng.uniform(-10, 10, n),
+            rng.uniform(0, 20, n),
+            rng.uniform(2, 5, n),
+            rng.uniform(1, 2.5, n),
+            np.zeros(n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    ref = ops.nms_numpy(boxes, scores, 0.5, rotated=False)
+    idx, keep = ops.nms_normal(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 48)
+    got = np.asarray(idx)[np.asarray(keep)]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_nms_respects_validity_mask():
+    boxes = jnp.array(
+        [[0.0, 0.0, 4.0, 2.0, 0.0], [100.0, 100.0, 4.0, 2.0, 0.0]]
+    )
+    scores = jnp.array([0.5, 0.9])
+    idx, keep = ops.nms_rotated(boxes, scores, 0.5, 2,
+                                valid=jnp.array([True, False]))
+    assert np.asarray(keep).tolist() == [True, False]
+    assert int(idx[0]) == 0
+
+
+# ----------------------------------------------------------------------- FPS
+
+def test_fps_matches_numpy(rng):
+    xyz = rng.normal(size=(2, 256, 3)).astype(np.float32)
+    ref = ops.furthest_point_sample_numpy(xyz, 32)
+    got = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 32))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fps_spreads_points():
+    # grid of 4 clusters: 16 picks must hit all clusters
+    rng = np.random.default_rng(3)
+    centers = np.array([[0, 0, 0], [10, 0, 0], [0, 0, 10], [10, 0, 10]], np.float32)
+    pts = (centers[:, None] + rng.normal(scale=0.1, size=(4, 64, 3))).reshape(1, -1, 3)
+    idx = np.asarray(ops.furthest_point_sample(jnp.asarray(pts, jnp.float32), 16))[0]
+    picked = pts[0, idx]
+    for c in centers:
+        assert np.min(np.linalg.norm(picked - c, axis=1)) < 1.0
+
+
+# ---------------------------------------------------------------- ball query
+
+def test_ball_query_matches_numpy(rng):
+    pts = rng.normal(scale=2.0, size=(2, 128, 3)).astype(np.float32)
+    centers = pts[:, :32]
+    ref = ops.ball_query_numpy(centers, pts, 1.0, 8)
+    got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(pts), 1.0, 8))
+    np.testing.assert_array_equal(got, ref)
+    # chunked variant identical
+    got_c = np.asarray(
+        ops.ball_query(jnp.asarray(centers), jnp.asarray(pts), 1.0, 8, query_chunk=8)
+    )
+    np.testing.assert_array_equal(got_c, ref)
+
+
+def test_ball_query_empty_and_pad():
+    pts = jnp.asarray(np.array([[[0, 0, 0], [0.1, 0, 0], [5, 5, 5]]], np.float32))
+    centers = jnp.asarray(np.array([[[0, 0, 0], [100, 100, 100]]], np.float32))
+    got = np.asarray(ops.ball_query(centers, pts, 0.5, 4))
+    # center 0: hits {0, 1}; pad with first hit 0
+    np.testing.assert_array_equal(got[0, 0], [0, 1, 0, 0])
+    # center 1: no hits -> zeros (CUDA parity)
+    np.testing.assert_array_equal(got[0, 1], [0, 0, 0, 0])
+
+
+def test_group_points():
+    feats = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
+    idx = jnp.array([[[0, 2], [3, 3]], [[1, 0], [2, 1]]], dtype=jnp.int32)
+    out = np.asarray(ops.group_points(feats, idx))
+    assert out.shape == (2, 2, 2, 3)
+    np.testing.assert_allclose(out[0, 0, 1], np.asarray(feats)[0, 2])
+    np.testing.assert_allclose(out[1, 1, 0], np.asarray(feats)[1, 2])
+
+
+# ------------------------------------------------------------------ three_nn
+
+def test_three_nn_matches_numpy(rng):
+    unknown = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    known = rng.normal(size=(2, 16, 3)).astype(np.float32)
+    ref_d, ref_i = ops.three_nn_numpy(unknown, known)
+    got_d, got_i = ops.three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    got_d, got_i = np.asarray(got_d), np.asarray(got_i)
+    np.testing.assert_allclose(np.sort(got_d, axis=-1), np.sort(ref_d, axis=-1),
+                               atol=1e-4)
+    # same neighbor set (order may differ on exact ties)
+    np.testing.assert_array_equal(np.sort(got_i, axis=-1), np.sort(ref_i, axis=-1))
+
+
+def test_three_interpolate_weights():
+    feats = jnp.asarray(np.array([[[1.0, 10.0], [2.0, 20.0], [3.0, 30.0]]],
+                                 np.float32))
+    idx = jnp.asarray(np.array([[[0, 1, 2]]], np.int32))
+    w = jnp.asarray(np.array([[[0.5, 0.25, 0.25]]], np.float32))
+    out = np.asarray(ops.three_interpolate(feats, idx, w))
+    np.testing.assert_allclose(out[0, 0], [1.75, 17.5], atol=1e-6)
+    # interpolation_weights: exact hit dominates
+    d = jnp.asarray(np.array([[[1e-9, 1.0, 2.0]]], np.float32))
+    wts = np.asarray(ops.interpolation_weights(d))
+    assert wts[0, 0, 0] > 0.999
+
+
+# ------------------------------------------------------------------- roipool
+
+def test_roipool_matches_numpy(rng):
+    B, N, M, K = 2, 128, 4, 16
+    pts = rng.uniform([-10, -1, 0], [10, 2, 30], size=(B, N, 3)).astype(np.float32)
+    feats = rng.normal(size=(B, N, 2)).astype(np.float32)
+    boxes = np.zeros((B, M, 7), np.float32)
+    boxes[..., 0] = rng.uniform(-8, 8, (B, M))
+    boxes[..., 1] = 1.5
+    boxes[..., 2] = rng.uniform(5, 25, (B, M))
+    boxes[..., 3:6] = [1.8, 3.0, 5.0]
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (B, M))
+    ref_pool, ref_empty = ops.roipool3d_numpy(pts, feats, boxes, 1.0, K)
+    got_pool, got_empty = ops.roipool3d(
+        jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(boxes), 1.0, K)
+    np.testing.assert_array_equal(np.asarray(got_empty), ref_empty)
+    np.testing.assert_allclose(np.asarray(got_pool), ref_pool, atol=1e-5)
+
+
+def test_roipool_wraparound():
+    pts = jnp.asarray(np.array([[[0.0, -0.5, 0.0], [0.1, -0.5, 0.1],
+                                 [50, 0, 50]]], np.float32))
+    feats = jnp.asarray(np.array([[[1.0], [2.0], [3.0]]], np.float32))
+    boxes = jnp.asarray(np.array([[[0, 0, 0, 2, 4, 4, 0.0]]], np.float32))
+    pooled, empty = ops.roipool3d(pts, feats, boxes, 0.0, 5)
+    pooled = np.asarray(pooled)
+    assert not bool(empty[0, 0])
+    # 2 hits wrap: slots = [0, 1, 0, 1, 0]
+    np.testing.assert_allclose(pooled[0, 0, :, 3], [1, 2, 1, 2, 1])
+
+
+# ----------------------------------------------------------- jax geometry twin
+
+def test_jax_geometry_matches_numpy(rng):
+    boxes = np.zeros((5, 7), np.float32)
+    boxes[:, 0] = rng.uniform(-10, 10, 5)
+    boxes[:, 1] = rng.uniform(0, 2, 5)
+    boxes[:, 2] = rng.uniform(5, 40, 5)
+    boxes[:, 3:6] = rng.uniform(1, 4, (5, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 5)
+    np.testing.assert_allclose(
+        np.asarray(ops.corners_from_boxes3d(jnp.asarray(boxes))),
+        npboxes.corners_from_boxes3d(boxes), atol=1e-4)
+    pts = rng.uniform([-10, -1, 0], [10, 2, 40], size=(256, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(ops.points_in_boxes3d(jnp.asarray(pts), jnp.asarray(boxes))),
+        npboxes.points_in_boxes3d(pts, boxes))

@@ -1,0 +1,94 @@
+"""Ball query + grouping — the neighborhood primitive of PointNet++ SA layers.
+
+TPU-native replacement for pointnet2_cuda's ball_query_gpu.cu / group_points_gpu.cu.
+Semantics match the CUDA kernel exactly: for each query center, take the first
+``nsample`` points (in index order) whose squared distance is < radius²; if fewer
+than ``nsample`` qualify, the remaining slots repeat the *first* qualifying index;
+if none qualify, all slots are 0 (ball_query_gpu.cu:9-44 fills with the first hit
+and leaves zeros when there is no hit).
+
+The order-preserving "first k within radius" is computed without sorting: a
+prefix-sum of the in-radius mask gives each point its slot, and a scatter-drop
+writes indices into the fixed-size slot buffer. The (M, N) mask never needs to be
+materialized at full batch size — callers can chunk the query dimension via
+``query_chunk`` to bound the (chunk, N) distance tile (this is what keeps the
+op HBM-friendly at N=16384; a Pallas fusion of query+group+MLP is the planned
+fast path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _ball_query_one(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
+                    nsample: int) -> jnp.ndarray:
+    """(M, 3) centers × (N, 3) pts -> (M, nsample) int32."""
+    d2 = jnp.sum((centers[:, None, :] - pts[None, :, :]) ** 2, axis=-1)  # (M, N)
+    mask = d2 < radius * radius
+    n = pts.shape[0]
+    ranks = jnp.cumsum(mask, axis=1) - 1  # slot per in-radius point
+    pos = jnp.where(mask & (ranks < nsample), ranks, nsample)
+    pt_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mask.shape)
+    out = jnp.zeros((centers.shape[0], nsample), dtype=jnp.int32)
+    out = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out, pos, pt_idx)
+    # pad empty slots with the first hit (slot 0; zero when no hit at all)
+    counts = jnp.sum(mask, axis=1)
+    slot = jnp.arange(nsample)
+    return jnp.where(slot[None, :] < jnp.maximum(counts, 1)[:, None], out,
+                     out[:, 0:1])
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample", "query_chunk"))
+def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
+               nsample: int, query_chunk: int | None = None) -> jnp.ndarray:
+    """(B, M, 3) centers × (B, N, 3) pts -> (B, M, nsample) int32 indices.
+
+    ``query_chunk`` bounds the (chunk, N) distance tile; M must divide by it.
+    """
+    B, M, _ = centers.shape
+
+    def per_batch(c, p):
+        if query_chunk is None or query_chunk >= M:
+            return _ball_query_one(c, p, radius, nsample)
+        c_chunks = c.reshape(M // query_chunk, query_chunk, 3)
+        return jax.lax.map(
+            lambda cc: _ball_query_one(cc, p, radius, nsample), c_chunks
+        ).reshape(M, nsample)
+
+    return jax.vmap(per_batch)(centers, pts)
+
+
+@jax.jit
+def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, C) features gathered by (B, M, nsample) -> (B, M, nsample, C).
+
+    Replaces group_points_gpu.cu (+ its hand-written grad — jnp.take_along_axis
+    is differentiable).
+    """
+    B, M, S = idx.shape
+    flat = idx.reshape(B, M * S)
+    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(B, M, S, features.shape[-1])
+
+
+def ball_query_numpy(centers: np.ndarray, pts: np.ndarray, radius: float,
+                     nsample: int) -> np.ndarray:
+    """Host oracle, (B, M, 3) × (B, N, 3) -> (B, M, nsample), CUDA-parity fill."""
+    centers, pts = np.asarray(centers), np.asarray(pts)
+    B, M, _ = centers.shape
+    out = np.zeros((B, M, nsample), dtype=np.int32)
+    for b in range(B):
+        for m in range(M):
+            d2 = np.sum((pts[b] - centers[b, m]) ** 2, axis=-1)
+            hits = np.where(d2 < radius * radius)[0]
+            if len(hits) == 0:
+                continue
+            take = hits[:nsample]
+            out[b, m, : len(take)] = take
+            out[b, m, len(take):] = take[0]
+    return out

@@ -1,0 +1,143 @@
+"""Greedy NMS (rotated and axis-aligned BEV) as fixed-shape JAX programs.
+
+The reference implements NMS as a CUDA 64-thread bitmask kernel plus a host-side
+sequential mask scan (iou3d.cpp:73-171, iou3d_kernel.cu:250-352). On TPU, dynamic
+survivor counts are replaced by the standard fixed-K pattern: NMS returns ``max_out``
+indices **plus a validity mask**, and downstream layers thread the mask.
+
+Two strategies, picked by problem size:
+- ``*_matrix``: materialize the (N, N) IoU matrix once (one big fused VPU program),
+  then run the O(N) sequential greedy scan over rows with a lax.fori_loop. Ideal
+  for N up to a few thousand — the scan is trivially cheap once the matrix exists.
+- The matrix approach is also exact greedy NMS, matching the reference's semantics
+  (suppress j if IoU(i, j) > thresh for an earlier kept i).
+
+Boxes here are BEV5 ``[xc, zc, l, w, ry]``; use rotated_iou.boxes3d_to_bev5 to
+convert from (N, 7). Axis-aligned ("normal") NMS treats the rectangles as
+unrotated spans, matching iou3d_cuda's nms_normal_gpu on boxes3d_to_bev_torch
+output (which spans l/w without rotating — lib/utils/kitti_utils.py:134-147).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .rotated_iou import rotated_overlap_bev
+
+
+def _aligned_iou_matrix(boxes5: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned IoU of BEV5 boxes ignoring rotation (normal NMS parity)."""
+    x1 = boxes5[:, 0] - boxes5[:, 2] / 2
+    x2 = boxes5[:, 0] + boxes5[:, 2] / 2
+    z1 = boxes5[:, 1] - boxes5[:, 3] / 2
+    z2 = boxes5[:, 1] + boxes5[:, 3] / 2
+    area = (x2 - x1) * (z2 - z1)
+    iw = jnp.clip(jnp.minimum(x2[:, None], x2[None, :])
+                  - jnp.maximum(x1[:, None], x1[None, :]), 0, None)
+    ih = jnp.clip(jnp.minimum(z2[:, None], z2[None, :])
+                  - jnp.maximum(z1[:, None], z1[None, :]), 0, None)
+    inter = iw * ih
+    return inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-8)
+
+
+def _greedy_scan(iou: jnp.ndarray, order: jnp.ndarray, valid: jnp.ndarray,
+                 thresh: float, max_out: int):
+    """Sequential greedy keep over score-sorted candidates.
+
+    :param iou: (N, N) pairwise IoU in *sorted* order
+    :param order: (N,) original indices in sorted order
+    :param valid: (N,) candidate validity in sorted order
+    :return: (max_out,) kept original indices (padded 0) + (max_out,) keep mask
+    """
+    n = iou.shape[0]
+
+    def body(i, suppressed):
+        keep_i = (~suppressed[i]) & valid[i]
+        return suppressed | (keep_i & (iou[i] > thresh) &
+                             (jnp.arange(n) > i))
+
+    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, dtype=bool))
+    keep = (~suppressed) & valid
+    # first max_out kept, in score order
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = jnp.where(keep & (rank < max_out), rank, max_out)
+    out_idx = jnp.zeros(max_out, dtype=jnp.int32).at[pos].set(
+        order.astype(jnp.int32), mode="drop")
+    out_valid = jnp.zeros(max_out, dtype=bool).at[pos].set(True, mode="drop")
+    return out_idx, out_valid
+
+
+@partial(jax.jit, static_argnames=("max_out", "rotated"))
+def nms_bev(boxes5: jnp.ndarray, scores: jnp.ndarray, thresh: float,
+            max_out: int, valid: jnp.ndarray | None = None,
+            rotated: bool = True):
+    """Greedy BEV NMS with fixed output size.
+
+    :param boxes5: (N, 5) [xc, zc, l, w, ry]
+    :param scores: (N,) — candidates are processed in descending score order
+    :param thresh: suppress j when IoU(kept_i, j) > thresh
+    :param max_out: K, static output size
+    :param valid: optional (N,) candidate mask (padding lanes -> False)
+    :param rotated: exact rotated IoU vs axis-aligned span IoU ("normal" NMS)
+    :return: ((K,) int32 indices into boxes5, (K,) bool keep mask)
+    """
+    n = boxes5.shape[0]
+    if valid is None:
+        valid = jnp.ones(n, dtype=bool)
+    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
+    sboxes = boxes5[order]
+    svalid = valid[order]
+    if rotated:
+        iou = rotated_overlap_bev(sboxes, sboxes, criterion=-1)
+    else:
+        iou = _aligned_iou_matrix(sboxes)
+    return _greedy_scan(iou, order, svalid, thresh, max_out)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def nms_rotated(boxes5, scores, thresh, max_out, valid=None):
+    return nms_bev(boxes5, scores, thresh, max_out, valid, rotated=True)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def nms_normal(boxes5, scores, thresh, max_out, valid=None):
+    return nms_bev(boxes5, scores, thresh, max_out, valid, rotated=False)
+
+
+def nms_numpy(boxes5, scores, thresh, valid=None, rotated=True):
+    """Host greedy NMS oracle; returns kept original indices (variable length)."""
+    import numpy as np
+
+    from .rotated_iou import rotated_iou_bev_numpy
+
+    boxes5 = np.asarray(boxes5, dtype=np.float64)
+    scores = np.asarray(scores)
+    n = len(boxes5)
+    if valid is None:
+        valid = np.ones(n, dtype=bool)
+    order = np.argsort(-scores, kind="stable")
+    order = [i for i in order if valid[i]]
+    if rotated:
+        iou = rotated_iou_bev_numpy(boxes5, boxes5, criterion=-1)
+    else:
+        x1 = boxes5[:, 0] - boxes5[:, 2] / 2
+        x2 = boxes5[:, 0] + boxes5[:, 2] / 2
+        z1 = boxes5[:, 1] - boxes5[:, 3] / 2
+        z2 = boxes5[:, 1] + boxes5[:, 3] / 2
+        area = (x2 - x1) * (z2 - z1)
+        iw = np.clip(np.minimum(x2[:, None], x2) - np.maximum(x1[:, None], x1), 0, None)
+        ih = np.clip(np.minimum(z2[:, None], z2) - np.maximum(z1[:, None], z1), 0, None)
+        inter = iw * ih
+        iou = inter / np.maximum(area[:, None] + area - inter, 1e-8)
+    kept = []
+    suppressed = np.zeros(n, dtype=bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        kept.append(i)
+        suppressed |= iou[i] > thresh
+        suppressed[i] = True
+    return np.array(kept, dtype=np.int32)

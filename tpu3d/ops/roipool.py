@@ -1,0 +1,88 @@
+"""ROI-aware point pooling — fixed-size per-box point extraction.
+
+TPU-native replacement for roipool3d_cuda (pointrcnn/lib/utils/roipool3d/src/):
+for each 3D ROI, gather the first ``num_sampled`` points inside the (optionally
+enlarged) box in point-index order; when a box holds fewer points the slots wrap
+around modulo the count (the CUDA kernel's `get_pooled_idx` duplicate-fill,
+roipool3d_kernel.cu:123-162); an all-empty box yields zeros plus an empty flag.
+
+Everything is one fused mask→prefix-sum→scatter→gather program: the analytic
+point-in-rotated-box test replaces the kernel's `check_pt_in_box3d`, and the
+wraparound fill is an index-mod, so there is no sequential loop at all — better
+than the CUDA original, which serializes the first-k scan per box.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .box_geometry import enlarge_box3d, points_in_boxes3d
+
+
+def _pool_one(pts: jnp.ndarray, feats: jnp.ndarray, boxes: jnp.ndarray,
+              num_sampled: int):
+    """(N, 3) pts, (N, C) feats, (M, 7) boxes -> ((M, K, 3+C), (M,) empty flag)."""
+    n = pts.shape[0]
+    m = boxes.shape[0]
+    inside = points_in_boxes3d(pts, boxes).T  # (M, N)
+    ranks = jnp.cumsum(inside, axis=1) - 1
+    pos = jnp.where(inside & (ranks < num_sampled), ranks, num_sampled)
+    pt_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (m, n))
+    slots = jnp.zeros((m, num_sampled), dtype=jnp.int32)
+    slots = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(slots, pos, pt_idx)
+    counts = jnp.sum(inside, axis=1)  # (M,)
+    empty = counts == 0
+    # wraparound duplicate fill: slot k reads slot k % count
+    k = jnp.arange(num_sampled)[None, :]
+    src = jnp.where(counts[:, None] > 0, k % jnp.maximum(counts[:, None], 1), 0)
+    slots = jnp.take_along_axis(slots, src, axis=1)  # (M, K)
+    data = jnp.concatenate([pts, feats], axis=1)  # (N, 3+C)
+    pooled = data[slots]  # (M, K, 3+C)
+    pooled = jnp.where(empty[:, None, None], 0.0, pooled)
+    return pooled, empty
+
+
+@partial(jax.jit, static_argnames=("num_sampled",))
+def roipool3d(pts: jnp.ndarray, feats: jnp.ndarray, boxes3d: jnp.ndarray,
+              pool_extra_width: float, num_sampled: int):
+    """Batched ROI point pooling.
+
+    :param pts: (B, N, 3) rect-coord points
+    :param feats: (B, N, C) per-point features
+    :param boxes3d: (B, M, 7) ROIs
+    :param pool_extra_width: box enlargement before the inside test
+        (cfg.RCNN.POOL_EXTRA_WIDTH)
+    :param num_sampled: K points per ROI (cfg.RCNN.NUM_POINTS = 512)
+    :return: ((B, M, K, 3 + C) pooled, (B, M) bool empty)
+    """
+    big = enlarge_box3d(boxes3d, pool_extra_width)
+    return jax.vmap(lambda p, f, b: _pool_one(p, f, b, num_sampled))(pts, feats, big)
+
+
+def roipool3d_numpy(pts, feats, boxes3d, pool_extra_width, num_sampled):
+    """Host oracle with identical semantics."""
+    from ..kitti.boxes import enlarge_box3d as np_enlarge
+    from ..kitti.boxes import points_in_boxes3d as np_inside
+
+    pts, feats, boxes3d = map(np.asarray, (pts, feats, boxes3d))
+    B, N, _ = pts.shape
+    M = boxes3d.shape[1]
+    C = feats.shape[-1]
+    pooled = np.zeros((B, M, num_sampled, 3 + C), dtype=np.float32)
+    empty = np.zeros((B, M), dtype=bool)
+    for b in range(B):
+        big = np_enlarge(boxes3d[b], pool_extra_width)
+        inside = np_inside(pts[b], big)  # (N, M)
+        data = np.concatenate([pts[b], feats[b]], axis=1)
+        for m in range(M):
+            hits = np.where(inside[:, m])[0]
+            if len(hits) == 0:
+                empty[b, m] = True
+                continue
+            take = hits[np.arange(num_sampled) % len(hits)]
+            pooled[b, m] = data[take]
+    return pooled, empty

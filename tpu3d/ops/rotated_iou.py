@@ -1,0 +1,262 @@
+"""Rotated-box intersection / IoU — the framework's single rotated-IoU primitive.
+
+One implementation serves both roles the reference splits across two CUDA kernels
+(pointrcnn/lib/utils/iou3d/src/iou3d_kernel.cu and evaluate/rotate_iou.py): pairwise
+BEV overlap/IoU matrices for the detector's NMS/target-assignment, and the
+evaluator's criterion-parameterized rotated IoU.
+
+Algorithm: Sutherland–Hodgman clipping of quad A against the four half-planes of
+quad B, with fixed-size (8, 2) vertex buffers and a scalar vertex count — convex
+quad ∩ convex quad has ≤ 8 vertices, and each half-plane clip grows the polygon by
+at most one vertex (4→5→6→7→8). Every step is fixed-shape, so the whole pairwise
+matrix is a single fused XLA program under vmap; no dynamic shapes, no host
+round-trips. The same function doubles as the numpy reference via the ``xp``
+parameter trick below being avoided — instead a separate small numpy copy lives in
+``rotated_iou_numpy`` for test oracles and host-side callers.
+
+Criterion (evaluator parity, evaluate/rotate_iou.py:devRotateIoUEval):
+  -1 -> IoU (inter / union)
+   0 -> inter / area(A)
+   1 -> inter / area(B)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAXV = 8
+
+
+def _box_to_bev_corners(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(..., 5) [xc, zc, l, w, ry] -> (..., 4, 2) corners, consistent clockwise
+    order (the bottom-face order of tpu3d.kitti.boxes.corners_from_boxes3d)."""
+    xc, zc, l, w, ry = (boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3],
+                        boxes[..., 4])
+    sx = jnp.array([1, 1, -1, -1], dtype=boxes.dtype) * (l[..., None] / 2)
+    sz = jnp.array([1, -1, -1, 1], dtype=boxes.dtype) * (w[..., None] / 2)
+    c, s = jnp.cos(ry)[..., None], jnp.sin(ry)[..., None]
+    x = c * sx + s * sz + xc[..., None]
+    z = -s * sx + c * sz + zc[..., None]
+    return jnp.stack([x, z], axis=-1)
+
+
+def boxes3d_to_bev5(boxes3d: jnp.ndarray) -> jnp.ndarray:
+    """(..., 7) [x,y,z,h,w,l,ry] -> (..., 5) [xc, zc, l, w, ry] BEV boxes."""
+    return jnp.stack(
+        [boxes3d[..., 0], boxes3d[..., 2], boxes3d[..., 5], boxes3d[..., 4],
+         boxes3d[..., 6]], axis=-1)
+
+
+def _clip_by_edge(poly, count, p1, p2):
+    """Clip padded polygon (MAXV, 2) with ``count`` valid vertices by the
+    half-plane on the inner side of directed edge p1->p2 (clockwise polygons:
+    inside = cross(p2-p1, v-p1) <= 0). Returns (new_poly, new_count)."""
+    e = p2 - p1
+    # signed side of every buffered vertex (padding lanes are garbage; masked out)
+    d = poly - p1
+    side = e[0] * d[:, 1] - e[1] * d[:, 0]  # (MAXV,)
+    idx = jnp.arange(_MAXV)
+    valid = idx < count
+    nxt_idx = jnp.where(idx + 1 < count, idx + 1, 0)
+    side_nxt = side[nxt_idx]
+    poly_nxt = poly[nxt_idx]
+
+    cur_in = (side <= 0) & valid
+    crossing = ((side <= 0) != (side_nxt <= 0)) & valid
+    # intersection of segment (cur, nxt) with the edge line
+    denom = side - side_nxt
+    t = side / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    inter = poly + t[:, None] * (poly_nxt - poly)
+
+    # two potential emissions per vertex: cur (if inside), then intersection
+    emit1 = cur_in
+    emit2 = crossing
+    counts = emit1.astype(jnp.int32) + emit2.astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    pos1 = jnp.where(emit1, offsets, _MAXV)  # MAXV = dropped by scatter
+    pos2 = jnp.where(emit2, offsets + emit1.astype(jnp.int32), _MAXV)
+    out = jnp.zeros_like(poly)
+    out = out.at[pos1].set(poly, mode="drop")
+    out = out.at[pos2].set(inter, mode="drop")
+    return out, jnp.sum(counts)
+
+
+def _polygon_area(poly, count):
+    """Shoelace area of a padded polygon; clockwise order -> take abs."""
+    idx = jnp.arange(_MAXV)
+    valid = idx < count
+    nxt = poly[jnp.where(idx + 1 < count, idx + 1, 0)]
+    cross = poly[:, 0] * nxt[:, 1] - nxt[:, 0] * poly[:, 1]
+    return jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0))) / 2.0
+
+
+def _pair_intersection_area(corners_a, corners_b):
+    """Intersection area of two clockwise quads, (4, 2) each. Scalar out."""
+    poly = jnp.zeros((_MAXV, 2), corners_a.dtype).at[:4].set(corners_a)
+    count = jnp.int32(4)
+
+    def clip_step(k, carry):
+        poly, count = carry
+        p1 = corners_b[k]
+        p2 = corners_b[(k + 1) % 4]
+        return _clip_by_edge(poly, count, p1, p2)
+
+    for k in range(4):  # static unroll: 4 half-planes
+        poly, count = clip_step(k, (poly, count))
+    return _polygon_area(poly, count)
+
+
+def _rect_area(boxes5):
+    return boxes5[..., 2] * boxes5[..., 3]
+
+
+@partial(jax.jit, static_argnames=("criterion",))
+def rotated_overlap_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray,
+                        criterion: int = -2) -> jnp.ndarray:
+    """Pairwise rotated BEV overlap matrix.
+
+    :param boxes_a: (N, 5) [xc, zc, l, w, ry]
+    :param boxes_b: (M, 5)
+    :param criterion: -2 -> raw intersection area (iou3d_cuda boxes_overlap_bev
+        parity); -1 -> IoU; 0 -> inter/area_a; 1 -> inter/area_b
+        (evaluate/rotate_iou.py devRotateIoUEval parity).
+    :return: (N, M) float32
+    """
+    ca = _box_to_bev_corners(boxes_a)  # (N, 4, 2)
+    cb = _box_to_bev_corners(boxes_b)  # (M, 4, 2)
+    inter = jax.vmap(
+        lambda a: jax.vmap(lambda b: _pair_intersection_area(a, b))(cb)
+    )(ca)  # (N, M)
+    if criterion == -2:
+        return inter
+    area_a = _rect_area(boxes_a)[:, None]
+    area_b = _rect_area(boxes_b)[None, :]
+    if criterion == -1:
+        return inter / jnp.maximum(area_a + area_b - inter, 1e-8)
+    if criterion == 0:
+        return inter / jnp.maximum(area_a, 1e-8)
+    if criterion == 1:
+        return inter / jnp.maximum(area_b, 1e-8)
+    raise ValueError(f"bad criterion {criterion}")
+
+
+@jax.jit
+def boxes_iou_bev(boxes_a3d: jnp.ndarray, boxes_b3d: jnp.ndarray) -> jnp.ndarray:
+    """(N, 7) × (M, 7) -> (N, M) rotated BEV IoU (iou3d_cuda boxes_iou_bev role)."""
+    return rotated_overlap_bev(boxes3d_to_bev5(boxes_a3d), boxes3d_to_bev5(boxes_b3d),
+                               criterion=-1)
+
+
+@jax.jit
+def boxes_iou3d(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """(N, 7) × (M, 7) -> (N, M) full 3D IoU with y-extent overlap
+    (iou3d_cuda boxes_iou3d_gpu parity: height overlap × BEV intersection)."""
+    inter_bev = rotated_overlap_bev(
+        boxes3d_to_bev5(boxes_a), boxes3d_to_bev5(boxes_b), criterion=-2)
+    # y points down; box spans [y - h, y]
+    ymax = jnp.minimum(boxes_a[:, None, 1], boxes_b[None, :, 1])
+    ymin = jnp.maximum(boxes_a[:, None, 1] - boxes_a[:, None, 3],
+                       boxes_b[None, :, 1] - boxes_b[None, :, 3])
+    h_overlap = jnp.clip(ymax - ymin, 0.0, None)
+    inter3d = inter_bev * h_overlap
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return inter3d / jnp.maximum(vol_a + vol_b - inter3d, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# numpy reference (test oracle + host-side callers like gt-database collision
+# checks); mirrors the jax algorithm but written independently enough to count.
+# ---------------------------------------------------------------------------
+
+def _np_box_corners(box5):
+    xc, zc, l, w, ry = box5
+    local = np.array([[l / 2, w / 2], [l / 2, -w / 2], [-l / 2, -w / 2],
+                      [-l / 2, w / 2]])
+    c, s = np.cos(ry), np.sin(ry)
+    x = c * local[:, 0] + s * local[:, 1] + xc
+    z = -s * local[:, 0] + c * local[:, 1] + zc
+    return np.stack([x, z], axis=1)
+
+
+def _np_clip(poly: list, p1, p2) -> list:
+    out = []
+    n = len(poly)
+    e = p2 - p1
+    for i in range(n):
+        cur, nxt = poly[i], poly[(i + 1) % n]
+        side_c = e[0] * (cur[1] - p1[1]) - e[1] * (cur[0] - p1[0])
+        side_n = e[0] * (nxt[1] - p1[1]) - e[1] * (nxt[0] - p1[0])
+        if side_c <= 0:
+            out.append(cur)
+        if (side_c <= 0) != (side_n <= 0):
+            t = side_c / (side_c - side_n)
+            out.append(cur + t * (nxt - cur))
+    return out
+
+
+def _np_polygon_area(poly: list) -> float:
+    if len(poly) < 3:
+        return 0.0
+    a = 0.0
+    n = len(poly)
+    for i in range(n):
+        cur, nxt = poly[i], poly[(i + 1) % n]
+        a += cur[0] * nxt[1] - nxt[0] * cur[1]
+    return abs(a) / 2.0
+
+
+def rotated_intersection_numpy(box_a5, box_b5) -> float:
+    """Intersection area of two [xc, zc, l, w, ry] boxes (host oracle)."""
+    ca = _np_box_corners(np.asarray(box_a5, dtype=np.float64))
+    cb = _np_box_corners(np.asarray(box_b5, dtype=np.float64))
+    poly = [ca[i] for i in range(4)]
+    for k in range(4):
+        if not poly:
+            return 0.0
+        poly = _np_clip(poly, cb[k], cb[(k + 1) % 4])
+    return _np_polygon_area(poly)
+
+
+def rotated_iou_bev_numpy(boxes_a5: np.ndarray, boxes_b5: np.ndarray,
+                          criterion: int = -1) -> np.ndarray:
+    """(N, 5) × (M, 5) -> (N, M) rotated BEV IoU/overlap on host."""
+    boxes_a5 = np.asarray(boxes_a5, dtype=np.float64)
+    boxes_b5 = np.asarray(boxes_b5, dtype=np.float64)
+    out = np.zeros((len(boxes_a5), len(boxes_b5)))
+    for i in range(len(boxes_a5)):
+        for j in range(len(boxes_b5)):
+            inter = rotated_intersection_numpy(boxes_a5[i], boxes_b5[j])
+            if criterion == -2:
+                out[i, j] = inter
+                continue
+            area_a = boxes_a5[i, 2] * boxes_a5[i, 3]
+            area_b = boxes_b5[j, 2] * boxes_b5[j, 3]
+            if criterion == -1:
+                out[i, j] = inter / max(area_a + area_b - inter, 1e-8)
+            elif criterion == 0:
+                out[i, j] = inter / max(area_a, 1e-8)
+            elif criterion == 1:
+                out[i, j] = inter / max(area_b, 1e-8)
+    return out
+
+
+def boxes_iou3d_numpy(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Host 3D IoU oracle, (N, 7) × (M, 7)."""
+    boxes_a = np.asarray(boxes_a, dtype=np.float64)
+    boxes_b = np.asarray(boxes_b, dtype=np.float64)
+    bev_a = boxes_a[:, [0, 2, 5, 4, 6]]
+    bev_b = boxes_b[:, [0, 2, 5, 4, 6]]
+    inter_bev = rotated_iou_bev_numpy(bev_a, bev_b, criterion=-2)
+    ymax = np.minimum(boxes_a[:, None, 1], boxes_b[None, :, 1])
+    ymin = np.maximum(boxes_a[:, None, 1] - boxes_a[:, None, 3],
+                      boxes_b[None, :, 1] - boxes_b[None, :, 3])
+    h_overlap = np.clip(ymax - ymin, 0.0, None)
+    inter3d = inter_bev * h_overlap
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return inter3d / np.maximum(vol_a + vol_b - inter3d, 1e-8)
