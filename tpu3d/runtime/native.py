@@ -1,0 +1,79 @@
+"""Build + load the native AP matcher (cffi ABI mode, gcc-compiled .so).
+
+The library is rebuilt automatically whenever ap_matcher.c is newer than the
+cached .so. Thread-safe single-shot loading; failures degrade to None so callers
+can fall back to the python implementation.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import threading
+
+_CDEF = """
+long collect_tp_scores(
+    int num_images,
+    const long *dt_nums, const long *gt_nums,
+    const double *overlaps_flat, const long *overlap_offsets,
+    const double *dt_scores_flat, const long *dt_offsets,
+    const long *ignored_gt_flat, const long *gt_offsets,
+    const long *ignored_det_flat,
+    double min_overlap,
+    double *out_scores);
+
+void fused_statistics(
+    int num_images,
+    const long *dt_nums, const long *gt_nums, const long *dc_nums,
+    const double *overlaps_flat, const long *overlap_offsets,
+    const double *dt_scores_flat, const double *dt_alphas_flat,
+    const long *dt_offsets,
+    const double *gt_alphas_flat, const long *ignored_gt_flat,
+    const long *gt_offsets,
+    const long *ignored_det_flat,
+    const double *dc_overlaps_flat, const long *dc_offsets,
+    int metric, double min_overlap,
+    const double *thresholds, int n_thresh,
+    int compute_aos,
+    double *pr);
+"""
+
+_lock = threading.Lock()
+_lib = None
+_ffi = None
+_tried = False
+
+
+def _build_and_load():
+    global _lib, _ffi
+    import cffi
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "ap_matcher.c")
+    so = os.path.join(here, "_ap_matcher.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        cc = os.environ.get("CC", "gcc")
+        cmd = [cc, "-O3", "-fPIC", "-shared", "-o", so, src, "-lm"]
+        subprocess.run(cmd, check=True, capture_output=True)
+    ffi = cffi.FFI()
+    ffi.cdef(_CDEF)
+    _ffi = ffi
+    _lib = ffi.dlopen(so)
+
+
+def get_ap_matcher():
+    """Return (ffi, lib) or (None, None) when the native path is unavailable."""
+    global _tried
+    with _lock:
+        if not _tried:
+            _tried = True
+            try:
+                _build_and_load()
+            except Exception:
+                pass
+    return _ffi, _lib
+
+
+def native_available() -> bool:
+    return get_ap_matcher()[1] is not None
