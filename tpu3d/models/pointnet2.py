@@ -1,0 +1,206 @@
+"""PointNet++ building blocks as flax modules, channels-last, fixed shapes.
+
+TPU-native redesign of pointnet2_lib/pointnet2/pointnet2_modules.py: the pointwise
+"SharedMLP convs" become Dense matmuls over the channel axis (MXU-shaped), and the
+CUDA sampling/grouping primitives come from tpu3d.ops. BatchNorm is a custom
+module so the BN momentum can be scheduled as a *traced* scalar (the reference's
+BNMomentumScheduler, tools/train_utils/train_utils.py:24-45) without recompiles.
+
+Convention: features are (B, N, C); xyz is (B, N, 3).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+    interpolation_weights,
+    three_interpolate,
+    three_nn,
+)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over all non-channel axes with run-time momentum.
+
+    ``momentum`` follows the *flax* convention (ema = m·ema + (1−m)·batch);
+    the reference's torch momentum t maps to m = 1 − t.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool, momentum=0.9):
+        feat_shape = (x.shape[-1],)
+        scale = self.param("scale", nn.initializers.ones, feat_shape)
+        bias = self.param("bias", nn.initializers.zeros, feat_shape)
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, feat_shape)
+        ra_var = self.variable("batch_stats", "var", jnp.ones, feat_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean
+                ra_var.value = momentum * ra_var.value + (1 - momentum) * var
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * inv * scale + bias
+
+
+class SharedMLP(nn.Module):
+    """Stack of pointwise Dense(+BN)+ReLU layers over the channel axis
+    (replaces pt_utils.SharedMLP's 1x1 convs)."""
+
+    channels: Sequence[int]
+    bn: bool = True
+    last_activation: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_momentum=0.9):
+        n = len(self.channels)
+        for i, ch in enumerate(self.channels):
+            x = nn.Dense(ch, use_bias=not self.bn,
+                         kernel_init=nn.initializers.he_normal(),
+                         name=f"dense_{i}")(x)
+            if self.bn:
+                x = BatchNorm(name=f"bn_{i}")(
+                    x, use_running_average=not train, momentum=bn_momentum)
+            if i < n - 1 or self.last_activation:
+                x = nn.relu(x)
+        return x
+
+
+class PointnetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction: FPS centers, per-radius ball-query
+    grouping, shared MLP, max-pool over the neighborhood, concat across scales
+    (reference: pointnet2_modules.py:19-96)."""
+
+    npoint: int | None
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    bn: bool = True
+    query_chunk: int | None = 512
+
+    @nn.compact
+    def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.9,
+                 new_xyz=None):
+        """xyz (B, N, 3); features (B, N, C) or None.
+        Returns (new_xyz (B, npoint, 3), new_features (B, npoint, ΣC_out))."""
+        if new_xyz is None:
+            if self.npoint is not None:
+                idx = furthest_point_sample(xyz, self.npoint)
+                new_xyz = gather_points(xyz, idx)
+            else:
+                new_xyz = None
+
+        scale_features = []
+        for i, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            if self.npoint is not None:
+                chunk = self.query_chunk
+                if chunk is not None and self.npoint % chunk != 0:
+                    chunk = None
+                idx = ball_query(new_xyz, xyz, radius, nsample,
+                                 query_chunk=chunk)
+                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                grouped = grouped_xyz
+                if features is not None:
+                    grouped_feats = group_points(features, idx)
+                    grouped = (jnp.concatenate([grouped_xyz, grouped_feats], -1)
+                               if self.use_xyz else grouped_feats)
+            else:
+                # GroupAll: one group holding every point (reference
+                # pointnet2_utils GroupAll)
+                grouped = xyz[:, None, :, :]
+                if features is not None:
+                    grouped = (jnp.concatenate(
+                        [grouped, features[:, None, :, :]], -1)
+                        if self.use_xyz else features[:, None, :, :])
+            out = SharedMLP(mlp, bn=self.bn, name=f"mlp_{i}")(
+                grouped, train=train, bn_momentum=bn_momentum)
+            scale_features.append(jnp.max(out, axis=2))  # pool over nsample
+
+        return new_xyz, jnp.concatenate(scale_features, axis=-1)
+
+
+class PointnetSAModule(PointnetSAModuleMSG):
+    """Single-scale SA (reference: pointnet2_modules.py:99-119)."""
+
+
+class PointnetFPModule(nn.Module):
+    """Feature propagation: inverse-distance 3-NN interpolation + skip concat +
+    shared MLP (reference: pointnet2_modules.py:122-160)."""
+
+    mlp: Sequence[int]
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats,
+                 train: bool = False, bn_momentum=0.9):
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            weight = interpolation_weights(dist)
+            interpolated = three_interpolate(known_feats, idx, weight)
+        else:
+            interpolated = jnp.broadcast_to(
+                known_feats, (*known_feats.shape[:-2], unknown.shape[1],
+                              known_feats.shape[-1]))
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], -1)
+        else:
+            new_features = interpolated
+        return SharedMLP(self.mlp, bn=self.bn, name="mlp")(
+            new_features, train=train, bn_momentum=bn_momentum)
+
+
+class Pointnet2MSG(nn.Module):
+    """The RPN backbone: 4 MSG-SA encoders + 4 FP decoders configured from
+    cfg.RPN.SA_CONFIG / FP_MLPS (reference: lib/net/pointnet2_msg.py)."""
+
+    npoints: Sequence[int]
+    radii: Sequence[Sequence[float]]
+    nsamples: Sequence[Sequence[int]]
+    sa_mlps: Sequence[Sequence[Sequence[int]]]
+    fp_mlps: Sequence[Sequence[int]]
+    input_channels: int = 0
+    use_xyz: bool = True
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, pts_input, train: bool = False, bn_momentum=0.9):
+        """pts_input (B, N, 3 + input_channels) -> (xyz (B, N, 3), feats (B, N, C))."""
+        xyz = pts_input[..., 0:3]
+        features = pts_input[..., 3:] if pts_input.shape[-1] > 3 else None
+
+        l_xyz, l_features = [xyz], [features]
+        for k in range(len(self.npoints)):
+            li_xyz, li_features = PointnetSAModuleMSG(
+                npoint=self.npoints[k], radii=self.radii[k],
+                nsamples=self.nsamples[k], mlps=self.sa_mlps[k],
+                use_xyz=self.use_xyz, bn=self.bn, name=f"sa_{k}")(
+                    l_xyz[k], l_features[k], train=train,
+                    bn_momentum=bn_momentum)
+            l_xyz.append(li_xyz)
+            l_features.append(li_features)
+
+        n_fp = len(self.fp_mlps)
+        for i in range(n_fp - 1, -1, -1):
+            l_features[i] = PointnetFPModule(
+                mlp=self.fp_mlps[i], bn=self.bn, name=f"fp_{i}")(
+                    l_xyz[i], l_xyz[i + 1], l_features[i], l_features[i + 1],
+                    train=train, bn_momentum=bn_momentum)
+
+        return l_xyz[0], l_features[0]

@@ -1,0 +1,133 @@
+"""RPN proposal generation: bin decode + distance-stratified NMS, fixed shapes.
+
+Reference parity: lib/rpn/proposal_layer.py. The reference's per-image python
+loop with variable-size tensors becomes one fully-batched fixed-shape program:
+every selection returns padded indices + a validity mask, and the distance-band
+quota logic (70% of pre/post-NMS budgets to 0-40 m, 30% to 40-80 m, with the
+far band falling back to leftover near candidates) is reproduced with masked
+ranking instead of boolean indexing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import nms_streaming_sorted
+from .bbox_codec import decode_bbox_target
+
+
+def _take_top(valid, order_rank, k, n):
+    """First-k selection by rank: returns ((n,) -> (k,) gather idx, (k,) mask).
+
+    ``order_rank`` maps sorted position -> original index; ``valid`` is in sorted
+    order. Selects the first k sorted positions that are valid.
+    """
+    # rank among valid, in sorted order
+    r = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    pos = jnp.where(valid & (r < k), r, k)
+    idx = jnp.zeros(k, dtype=jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    mask = jnp.zeros(k, dtype=bool).at[pos].set(True, mode="drop")
+    return idx, mask  # idx indexes into the *sorted* arrays
+
+
+def _band_nms(boxes7, scores, cand_mask, pre_k, post_k, nms_thresh, rotated):
+    """Top-pre_k candidates (already score-sorted) -> NMS -> top post_k."""
+    n = boxes7.shape[0]
+    sel_idx, sel_mask = _take_top(cand_mask, None, pre_k, n)
+    cand_boxes = boxes7[sel_idx]
+    cand_scores = scores[sel_idx]
+    # BEV5 [xc, zc, l, w, ry]
+    bev = jnp.stack([cand_boxes[:, 0], cand_boxes[:, 2], cand_boxes[:, 5],
+                     cand_boxes[:, 4], cand_boxes[:, 6]], axis=1)
+    # candidates are already in descending-score order; stream rows + early exit
+    keep_idx, keep_mask = nms_streaming_sorted(bev, sel_mask, nms_thresh,
+                                               post_k, rotated=rotated)
+    out_boxes = jnp.where(keep_mask[:, None], cand_boxes[keep_idx], 0.0)
+    out_scores = jnp.where(keep_mask, cand_scores[keep_idx], 0.0)
+    return out_boxes, out_scores, keep_mask
+
+
+def distance_based_proposal(scores, proposals, mode_cfg, nms_type: str):
+    """Single-image distance-stratified proposal (reference:
+    proposal_layer.py:58-119). scores (N,), proposals (N, 7).
+
+    Returns ((post_N, 7) boxes, (post_N,) scores, (post_N,) valid mask).
+    """
+    n = scores.shape[0]
+    pre_tot = int(mode_cfg.RPN_PRE_NMS_TOP_N)
+    post_tot = int(mode_cfg.RPN_POST_NMS_TOP_N)
+    pre_ks = [int(pre_tot * 0.7), pre_tot - int(pre_tot * 0.7)]
+    post_ks = [int(post_tot * 0.7), post_tot - int(post_tot * 0.7)]
+    thresh = float(mode_cfg.RPN_NMS_THRESH)
+    rotated = nms_type == "rotate"
+
+    order = jnp.argsort(-scores)
+    s_sorted = scores[order]
+    p_sorted = proposals[order]
+    dist = p_sorted[:, 2]
+    near = (dist > 0.0) & (dist <= 40.0)
+    far = (dist > 40.0) & (dist <= 80.0)
+
+    # near band: top 70% of pre budget
+    near_boxes, near_scores, near_mask = _band_nms(
+        p_sorted, s_sorted, near, pre_ks[0], post_ks[0], thresh, rotated)
+
+    # far band; when empty, fall back to near candidates ranked after the
+    # near band's pre budget (reference: proposal_layer.py:93-102)
+    far_count = jnp.sum(far)
+    near_rank = jnp.cumsum(near.astype(jnp.int32)) - 1
+    fallback = near & (near_rank >= pre_ks[0])
+    far_cand = jnp.where(far_count > 0, far, fallback)
+    far_boxes, far_scores, far_mask = _band_nms(
+        p_sorted, s_sorted, far_cand, pre_ks[1], post_ks[1], thresh, rotated)
+
+    boxes = jnp.concatenate([near_boxes, far_boxes], axis=0)
+    out_scores = jnp.concatenate([near_scores, far_scores], axis=0)
+    mask = jnp.concatenate([near_mask, far_mask], axis=0)
+    return boxes, out_scores, mask
+
+
+def score_based_proposal(scores, proposals, mode_cfg, nms_type: str):
+    """Plain top-K + NMS proposal (reference: proposal_layer.py:121-142).
+    NOTE: the reference always uses rotated NMS here; we honor nms_type."""
+    order = jnp.argsort(-scores)
+    s_sorted = scores[order]
+    p_sorted = proposals[order]
+    valid = jnp.ones_like(s_sorted, dtype=bool)
+    return _band_nms(p_sorted, s_sorted, valid,
+                     int(mode_cfg.RPN_PRE_NMS_TOP_N),
+                     int(mode_cfg.RPN_POST_NMS_TOP_N),
+                     float(mode_cfg.RPN_NMS_THRESH), rotated=True)
+
+
+def proposal_layer(rpn_scores, rpn_reg, xyz, cfg, mode: str):
+    """Batched proposal generation (reference: proposal_layer.py:15-56).
+
+    :param rpn_scores: (B, N) raw logits
+    :param rpn_reg: (B, N, C)
+    :param xyz: (B, N, 3) backbone points
+    :return: (rois (B, M, 7), roi_scores_raw (B, M), roi_valid (B, M))
+    """
+    B, N = rpn_scores.shape
+    mean_size = jnp.asarray(cfg.CLS_MEAN_SIZE[0])
+    proposals = decode_bbox_target(
+        xyz.reshape(-1, 3), rpn_reg.reshape(B * N, -1),
+        loc_scope=cfg.RPN.LOC_SCOPE, loc_bin_size=cfg.RPN.LOC_BIN_SIZE,
+        num_head_bin=cfg.RPN.NUM_HEAD_BIN, anchor_size=mean_size,
+        get_xz_fine=cfg.RPN.LOC_XZ_FINE, get_y_by_bin=False, get_ry_fine=False)
+    # set y to the box bottom (reference: proposal_layer.py:33)
+    proposals = proposals.at[:, 1].add(proposals[:, 3] / 2)
+    proposals = proposals.reshape(B, N, 7)
+
+    mode_cfg = cfg[mode]
+    # NOTE(reference quirk): distance_based_proposal keys on cfg.TEST even in
+    # TRAIN mode (proposal_layer.py:46 uses cfg.TEST.RPN_DISTANCE_BASED_PROPOSE)
+    use_distance = bool(cfg.TEST.RPN_DISTANCE_BASED_PROPOSE)
+    fn = distance_based_proposal if use_distance else score_based_proposal
+    per_image = partial(fn, mode_cfg=mode_cfg, nms_type=cfg.RPN.NMS_TYPE)
+    rois, roi_scores, roi_valid = jax.vmap(per_image)(rpn_scores, proposals)
+    return rois, roi_scores, roi_valid

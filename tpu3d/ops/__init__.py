@@ -21,7 +21,7 @@ from .rotated_iou import (
     rotated_iou_bev_numpy,
     rotated_overlap_bev,
 )
-from .nms import nms_bev, nms_normal, nms_numpy, nms_rotated
+from .nms import nms_bev, nms_normal, nms_numpy, nms_rotated, nms_streaming_sorted
 from .sampling import furthest_point_sample, furthest_point_sample_numpy, gather_points
 from .grouping import ball_query, ball_query_numpy, group_points
 from .interpolate import (

@@ -107,6 +107,58 @@ def nms_normal(boxes5, scores, thresh, max_out, valid=None):
     return nms_bev(boxes5, scores, thresh, max_out, valid, rotated=False)
 
 
+def _iou_row(box5, boxes5, rotated: bool):
+    """IoU of one BEV5 box against (N, 5) boxes, (N,) out."""
+    if rotated:
+        return rotated_overlap_bev(box5[None, :], boxes5, criterion=-1)[0]
+    x1a, x2a = box5[0] - box5[2] / 2, box5[0] + box5[2] / 2
+    z1a, z2a = box5[1] - box5[3] / 2, box5[1] + box5[3] / 2
+    x1 = boxes5[:, 0] - boxes5[:, 2] / 2
+    x2 = boxes5[:, 0] + boxes5[:, 2] / 2
+    z1 = boxes5[:, 1] - boxes5[:, 3] / 2
+    z2 = boxes5[:, 1] + boxes5[:, 3] / 2
+    iw = jnp.clip(jnp.minimum(x2a, x2) - jnp.maximum(x1a, x1), 0, None)
+    ih = jnp.clip(jnp.minimum(z2a, z2) - jnp.maximum(z1a, z1), 0, None)
+    inter = iw * ih
+    area = (x2 - x1) * (z2 - z1)
+    area_a = (x2a - x1a) * (z2a - z1a)
+    return inter / jnp.maximum(area_a + area - inter, 1e-8)
+
+
+def nms_streaming_sorted(boxes5_sorted, valid_sorted, thresh, max_out: int,
+                         rotated: bool = False):
+    """Greedy NMS over *score-sorted* candidates without materializing the
+    (N, N) IoU matrix: a lax.while_loop walks candidates in order, computes one
+    IoU row on demand, and exits as soon as ``max_out`` boxes are kept. This is
+    the large-N path used by the RPN proposal layer (pre-NMS budgets of
+    6k-12k boxes make the matrix path memory-prohibitive).
+
+    :return: ((max_out,) positions into the sorted arrays, (max_out,) keep mask)
+    """
+    n = boxes5_sorted.shape[0]
+
+    def cond(state):
+        i, kept, _, _, _ = state
+        return (i < n) & (kept < max_out)
+
+    def body(state):
+        i, kept, suppressed, out_idx, out_mask = state
+        keep_i = (~suppressed[i]) & valid_sorted[i]
+        row = _iou_row(boxes5_sorted[i], boxes5_sorted, rotated)
+        suppressed = suppressed | (keep_i & (row > thresh)
+                                   & (jnp.arange(n) > i))
+        out_idx = jnp.where(keep_i, out_idx.at[kept].set(i), out_idx)
+        out_mask = jnp.where(keep_i, out_mask.at[kept].set(True), out_mask)
+        return (i + 1, kept + keep_i.astype(jnp.int32), suppressed, out_idx,
+                out_mask)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.zeros(n, dtype=bool),
+            jnp.zeros(max_out, dtype=jnp.int32),
+            jnp.zeros(max_out, dtype=bool))
+    _, _, _, out_idx, out_mask = jax.lax.while_loop(cond, body, init)
+    return out_idx, out_mask
+
+
 def nms_numpy(boxes5, scores, thresh, valid=None, rotated=True):
     """Host greedy NMS oracle; returns kept original indices (variable length)."""
     import numpy as np

