@@ -1,0 +1,71 @@
+"""Headline benchmark: PointRCNN inference throughput (scenes/sec) on TPU.
+
+Runs the full two-stage pipeline (16384-point PointNet++ MSG backbone, bin
+decode, distance-stratified NMS, ROI pooling, RCNN refinement, final rotated
+NMS) at the reference's eval configuration (default.yaml: batch 8 eval,
+TEST proposals 9000->100) on synthetic KITTI-format scenes, and prints ONE JSON
+line. ``vs_baseline`` compares against the reference CUDA PointRCNN's ~10
+scenes/s eval throughput on its contemporary GPU (the BASELINE.md target is
+>10x that on a v5e-8; single-chip numbers here scale ~linearly with DP chips).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SCENES_PER_SEC = 10.0
+
+
+def main():
+    import jax
+
+    from tpu3d.config import fresh_cfg
+    from tpu3d.models import PointRCNN
+    from tpu3d.tools.eval_rcnn import make_infer_step
+
+    cfg = fresh_cfg()
+    # the paper config (default.yaml) knobs that matter for inference
+    cfg.RPN.USE_INTENSITY = False
+    cfg.RPN.LOC_XZ_FINE = True
+    cfg.RPN.LOSS_CLS = "SigmoidFocalLoss"
+    cfg.RCNN.ENABLED = True
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 9000
+    cfg.TEST.RPN_POST_NMS_TOP_N = 100
+    cfg.TEST.RPN_NMS_THRESH = 0.8
+
+    batch = 8
+    n = cfg.RPN.NUM_POINTS  # 16384
+    model = PointRCNN(cfg=cfg, mode="TEST")
+    rng = np.random.default_rng(0)
+    pts = np.asarray(rng.uniform([-30, -1, 0], [30, 3, 70], size=(batch, n, 3)),
+                     np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "target": jax.random.PRNGKey(2)},
+        {"pts_input": pts[:1]}, train=False)
+
+    infer = jax.jit(make_infer_step(model, cfg))
+    out = infer(variables, pts)  # compile
+    jax.block_until_ready(out)
+
+    n_iters = 5
+    t0 = time.time()
+    for i in range(n_iters):
+        out = infer(variables, pts)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    scenes_per_sec = batch * n_iters / dt
+
+    print(json.dumps({
+        "metric": "pointrcnn_eval_scenes_per_sec",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

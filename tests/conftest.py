@@ -1,14 +1,22 @@
 """Test config: force JAX onto CPU with 8 virtual devices so multi-chip sharding
-paths (mesh/pjit/shard_map) are exercised without TPU hardware."""
+paths (mesh/pjit/shard_map) are exercised without TPU hardware.
+
+NOTE: this environment's axon TPU plugin overrides the JAX_PLATFORMS env var at
+interpreter start (sitecustomize), so the platform must be forced through
+jax.config *after* importing jax.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,229 @@
+"""Model tests: shapes, codec symmetry, losses, and a full joint forward+loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3d.config import fresh_cfg
+from tpu3d.models import (
+    PointRCNN,
+    decode_bbox_target,
+    model_loss,
+    proposal_layer,
+    reg_channels,
+)
+from tpu3d.models.losses import get_reg_loss
+
+
+def small_cfg(rcnn=False):
+    """A tiny config that exercises the full architecture quickly on CPU."""
+    c = fresh_cfg()
+    c.RPN.NUM_POINTS = 512
+    c.RPN.SA_CONFIG.NPOINTS = [128, 32, 16, 8]
+    c.RPN.SA_CONFIG.MLPS = [[[8, 8], [8, 8]], [[8, 16], [8, 16]],
+                            [[16, 16], [16, 16]], [[16, 32], [16, 32]]]
+    c.RPN.FP_MLPS = [[32, 32], [32, 32], [32, 32], [64, 64]]
+    c.RPN.CLS_FC = [16]
+    c.RPN.REG_FC = [16]
+    c.RPN.USE_INTENSITY = False
+    c.RPN.LOC_XZ_FINE = True
+    c.RPN.LOSS_CLS = "SigmoidFocalLoss"
+    c.TRAIN.RPN_PRE_NMS_TOP_N = 64
+    c.TRAIN.RPN_POST_NMS_TOP_N = 16
+    c.TEST.RPN_PRE_NMS_TOP_N = 64
+    c.TEST.RPN_POST_NMS_TOP_N = 16
+    if rcnn:
+        c.RCNN.ENABLED = True
+        c.RCNN.ROI_SAMPLE_JIT = True
+        c.RCNN.NUM_POINTS = 32
+        c.RCNN.ROI_PER_IMAGE = 8
+        c.RCNN.ROI_FG_AUG_TIMES = 3
+        c.RCNN.SA_CONFIG.NPOINTS = [16, 8, -1]
+        c.RCNN.SA_CONFIG.NSAMPLE = [8, 8, 8]
+        c.RCNN.SA_CONFIG.MLPS = [[16, 16], [16, 16], [16, 32]]
+        c.RCNN.XYZ_UP_LAYER = [16, 16]
+        c.RCNN.CLS_FC = [16]
+        c.RCNN.REG_FC = [16]
+    return c
+
+
+def _pts(rng, b, n):
+    pts = rng.uniform([-30, -1, 0], [30, 3, 70], size=(b, n, 3))
+    return jnp.asarray(pts, jnp.float32)
+
+
+def test_reg_channels():
+    # RPN default: LOC_XZ_FINE=True (default.yaml): 12*4 + 12*2 + 3 + 1 = 76
+    assert reg_channels(3.0, 0.5, 12, True) == 76
+    # coarse: 12*2 + 24 + 4 = 52
+    assert reg_channels(3.0, 0.5, 12, False) == 52
+    # RCNN: per_loc_bin 6 -> 6*4 + 9*2 + 3 + 1 = 46
+    assert reg_channels(1.5, 0.5, 9, True) == 46
+
+
+def test_codec_roundtrip_encode_decode():
+    """decode(perfect one-hot encoding of a target) must reproduce the target."""
+    rng = np.random.default_rng(0)
+    n = 64
+    anchor = np.array([1.52, 1.63, 3.88], np.float32)
+    loc_scope, loc_bin, head_bin = 3.0, 0.5, 12
+    per_loc = int(loc_scope / loc_bin) * 2
+    targets = np.zeros((n, 7), np.float32)
+    targets[:, 0] = rng.uniform(-2.9, 2.9, n)  # dx
+    targets[:, 1] = rng.uniform(-0.5, 0.5, n)  # dy
+    targets[:, 2] = rng.uniform(-2.9, 2.9, n)  # dz
+    targets[:, 3:6] = anchor * rng.uniform(0.9, 1.1, (n, 3))
+    targets[:, 6] = rng.uniform(-np.pi, np.pi, n)
+
+    # build an ideal prediction tensor
+    C = reg_channels(loc_scope, loc_bin, head_bin, True)
+    pred = np.full((n, C), -20.0, np.float32)
+    x_shift = np.clip(targets[:, 0] + loc_scope, 0, loc_scope * 2 - 1e-3)
+    z_shift = np.clip(targets[:, 2] + loc_scope, 0, loc_scope * 2 - 1e-3)
+    x_bin = np.floor(x_shift / loc_bin).astype(int)
+    z_bin = np.floor(z_shift / loc_bin).astype(int)
+    pred[np.arange(n), x_bin] = 20.0
+    pred[np.arange(n), per_loc + z_bin] = 20.0
+    x_res = (x_shift - (x_bin * loc_bin + loc_bin / 2)) / loc_bin
+    z_res = (z_shift - (z_bin * loc_bin + loc_bin / 2)) / loc_bin
+    pred[:, per_loc * 2: per_loc * 3] = 0
+    pred[:, per_loc * 3: per_loc * 4] = 0
+    pred[np.arange(n), per_loc * 2 + x_bin] = x_res
+    pred[np.arange(n), per_loc * 3 + z_bin] = z_res
+    start = per_loc * 4
+    pred[:, start] = targets[:, 1]
+    start += 1
+    angle_per = 2 * np.pi / head_bin
+    heading = targets[:, 6] % (2 * np.pi)
+    shift_angle = (heading + angle_per / 2) % (2 * np.pi)
+    ry_bin = np.floor(shift_angle / angle_per).astype(int)
+    ry_res = (shift_angle - (ry_bin * angle_per + angle_per / 2)) / (angle_per / 2)
+    pred[np.arange(n), start + ry_bin] = 20.0
+    pred[:, start + head_bin: start + head_bin * 2] = 0
+    pred[np.arange(n), start + head_bin + ry_bin] = ry_res
+    start += head_bin * 2
+    pred[:, start: start + 3] = (targets[:, 3:6] - anchor) / anchor
+
+    anchors_xyz = np.zeros((n, 3), np.float32)
+    decoded = np.asarray(decode_bbox_target(
+        jnp.asarray(anchors_xyz), jnp.asarray(pred), loc_scope, loc_bin,
+        head_bin, jnp.asarray(anchor), get_xz_fine=True))
+    np.testing.assert_allclose(decoded[:, 0], targets[:, 0], atol=1e-4)
+    np.testing.assert_allclose(decoded[:, 2], targets[:, 2], atol=1e-4)
+    np.testing.assert_allclose(decoded[:, 1], targets[:, 1], atol=1e-4)
+    np.testing.assert_allclose(decoded[:, 3:6], targets[:, 3:6], atol=1e-4)
+    # ry wraps to (-pi, pi]
+    dry = np.abs(((decoded[:, 6] - targets[:, 6]) + np.pi) % (2 * np.pi) - np.pi)
+    assert np.max(dry) < 1e-3
+
+
+def test_reg_loss_zero_for_perfect_pred():
+    """Encoding built in test above, fed to get_reg_loss, gives ~zero residual
+    losses and tiny bin CE."""
+    rng = np.random.default_rng(1)
+    n = 16
+    anchor = jnp.asarray([1.52, 1.63, 3.88])
+    targets = np.zeros((n, 7), np.float32)
+    targets[:, 0] = rng.uniform(-2.5, 2.5, n)
+    targets[:, 2] = rng.uniform(-2.5, 2.5, n)
+    targets[:, 3:6] = np.asarray(anchor)
+    loss_loc, loss_angle, loss_size, d = get_reg_loss(
+        jnp.zeros((n, 76)), jnp.asarray(targets), jnp.ones(n),
+        loc_scope=3.0, loc_bin_size=0.5, num_head_bin=12, anchor_size=anchor,
+        get_xz_fine=True)
+    # sizes exactly match anchor -> size loss 0
+    assert float(loss_size) == pytest.approx(0.0, abs=1e-6)
+    assert np.isfinite(float(loss_loc)) and np.isfinite(float(loss_angle))
+
+
+def test_rpn_forward_shapes(rng):
+    c = small_cfg()
+    model = PointRCNN(cfg=c, mode="TRAIN")
+    pts = _pts(rng, 2, c.RPN.NUM_POINTS)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {"pts_input": pts}, train=False)
+    out = model.apply(variables, {"pts_input": pts}, train=False)
+    assert out["rpn_cls"].shape == (2, 512, 1)
+    assert out["rpn_reg"].shape == (2, 512, 76)
+    assert out["backbone_features"].shape == (2, 512, 32)
+    assert np.isfinite(np.asarray(out["rpn_cls"])).all()
+
+
+def test_proposal_layer_shapes(rng):
+    c = small_cfg()
+    b, n = 2, 512
+    scores = jnp.asarray(rng.normal(size=(b, n)), jnp.float32)
+    reg = jnp.asarray(rng.normal(scale=0.1, size=(b, n, 76)), jnp.float32)
+    xyz = _pts(rng, b, n)
+    rois, roi_scores, roi_valid = proposal_layer(scores, reg, xyz, c, "TEST")
+    assert rois.shape == (b, 16, 7)
+    assert roi_scores.shape == (b, 16)
+    assert bool(roi_valid.any())
+    # valid rois have positive sizes
+    v = np.asarray(roi_valid)
+    sizes = np.asarray(rois)[v][:, 3:6]
+    assert (sizes > 0).all()
+
+
+def test_joint_forward_and_loss(rng):
+    c = small_cfg(rcnn=True)
+    model = PointRCNN(cfg=c, mode="TRAIN")
+    b, n = 2, c.RPN.NUM_POINTS
+    pts = _pts(rng, b, n)
+    gt = np.zeros((b, 5, 7), np.float32)
+    gt[:, 0] = [0, 1.6, 20, 1.5, 1.6, 3.9, 0.3]
+    gt[:, 1] = [-5, 1.6, 30, 1.5, 1.6, 3.9, -1.0]
+    input_dict = {"pts_input": pts, "gt_boxes3d": jnp.asarray(gt)}
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "target": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, input_dict, train=True)
+    out, mutated = model.apply(
+        variables, input_dict, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3), "target": jax.random.PRNGKey(4)})
+    R = c.RCNN.ROI_PER_IMAGE
+    assert out["rois"].shape == (b, 16, 7)
+    assert out["rcnn_cls"].shape == (b * R, 1)
+    assert out["rcnn_reg"].shape == (b * R, 46)
+    assert out["cls_label"].shape == (b * R,)
+
+    # labels for rpn loss: points near gt cars are fg
+    rpn_cls_label = jnp.asarray(
+        rng.integers(-1, 2, size=(b, n)), jnp.int32)
+    rpn_reg_label = jnp.asarray(rng.normal(scale=0.3, size=(b, n, 7)),
+                                jnp.float32)
+    data = {"rpn_cls_label": rpn_cls_label, "rpn_reg_label": rpn_reg_label}
+    loss, tb = model_loss(c, out, data)
+    assert np.isfinite(float(loss))
+    assert "rpn_loss" in tb and "rcnn_loss" in tb
+
+    # gradient flows
+    def loss_fn(params):
+        o = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            input_dict, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(3),
+                  "target": jax.random.PRNGKey(4)})[0]
+        return model_loss(c, o, data)[0]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gnorm = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.square(x)), grads, 0.0) ** 0.5)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_eval_forward(rng):
+    c = small_cfg(rcnn=True)
+    model = PointRCNN(cfg=c, mode="TEST")
+    b, n = 2, c.RPN.NUM_POINTS
+    pts = _pts(rng, b, n)
+    input_dict = {"pts_input": pts}
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "target": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, input_dict, train=False)
+    out = model.apply(variables, input_dict, train=False)
+    m = c.TEST.RPN_POST_NMS_TOP_N
+    assert out["rois"].shape == (b, m, 7)
+    assert out["rcnn_cls"].shape == (b * m, 1)
+    assert np.isfinite(np.asarray(out["rcnn_reg"])).all()

@@ -26,8 +26,16 @@ class AttrDict(dict):
     def from_nested(cls, d):
         out = cls()
         for k, v in d.items():
-            out[k] = cls.from_nested(v) if isinstance(v, dict) else v
+            out[k] = cls.from_nested(v) if hasattr(v, "items") else v
         return out
+
+
+def as_attrdict(d) -> "AttrDict":
+    """Recursively coerce any mapping (e.g. flax FrozenDict, which linen turns
+    dict-valued module attributes into) back to attribute-access AttrDict."""
+    if isinstance(d, AttrDict):
+        return d
+    return AttrDict.from_nested(d)
 
 
 def _default_cfg() -> AttrDict:

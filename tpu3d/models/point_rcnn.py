@@ -1,0 +1,119 @@
+"""PointRCNN: the full two-stage detector as one jittable flax module.
+
+Reference parity: lib/net/point_rcnn.py. Stage flow (joint mode):
+RPN backbone+heads -> (stop-grad) proposal decode + distance-NMS ->
+train: on-device ProposalTarget sampling | eval: ROI pooling + canonical
+transform -> RCNN refinement. All stages run in one XLA program; the reference's
+torch.no_grad blocks become jax.lax.stop_gradient.
+
+RNG streams: 'dropout' for head dropout, 'target' for ROI sampling/augmentation.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config.config import as_attrdict
+from .proposal import proposal_layer
+from .proposal_target import proposal_target_layer
+from .rcnn import RCNNNet
+from .rpn import RPN
+from ..ops.box_geometry import rotate_points_along_y
+from ..ops.roipool import roipool3d
+
+
+def rcnn_extra_features(cfg, rpn_scores_raw, backbone_xyz, rpn_intensity=None):
+    """[intensity?, seg_mask, depth] per point (reference:
+    proposal_target_layer.py:20-29 / rcnn_net.py:156-166)."""
+    seg_mask = (jax.nn.sigmoid(rpn_scores_raw) > cfg.RPN.SCORE_THRESH).astype(
+        backbone_xyz.dtype)
+    extras = []
+    if cfg.RCNN.USE_INTENSITY and rpn_intensity is not None:
+        extras.append(rpn_intensity[..., None])
+    if cfg.RCNN.USE_MASK:
+        extras.append(seg_mask[..., None])
+    if cfg.RCNN.USE_DEPTH:
+        depth = jnp.linalg.norm(backbone_xyz, axis=2) / 70.0 - 0.5
+        extras.append(depth[..., None])
+    return jnp.concatenate(extras, axis=-1), seg_mask
+
+
+class PointRCNN(nn.Module):
+    cfg: dict
+    num_classes: int = 2
+    mode: str = "TRAIN"
+
+    @nn.compact
+    def __call__(self, input_dict, train: bool = False, bn_momentum=0.9):
+        c = as_attrdict(self.cfg)
+        assert c.RPN.ENABLED or c.RCNN.ENABLED
+        output = {}
+
+        if c.RPN.ENABLED:
+            rpn_out = RPN(cfg=c, name="rpn")(
+                input_dict["pts_input"],
+                train=train and not c.RPN.FIXED, bn_momentum=bn_momentum)
+            if c.RPN.FIXED:
+                rpn_out = jax.tree_util.tree_map(jax.lax.stop_gradient, rpn_out)
+            output.update(rpn_out)
+
+            if c.RCNN.ENABLED:
+                rpn_cls = jax.lax.stop_gradient(rpn_out["rpn_cls"])
+                rpn_reg = jax.lax.stop_gradient(rpn_out["rpn_reg"])
+                backbone_xyz = jax.lax.stop_gradient(rpn_out["backbone_xyz"])
+                backbone_feats = jax.lax.stop_gradient(
+                    rpn_out["backbone_features"])
+
+                rpn_scores_raw = rpn_cls[:, :, 0]
+                rois, roi_scores_raw, roi_valid = proposal_layer(
+                    rpn_scores_raw, rpn_reg, backbone_xyz, c, self.mode)
+                output["rois"] = rois
+                output["roi_scores_raw"] = roi_scores_raw
+                output["roi_valid"] = roi_valid
+
+                extra, seg_mask = rcnn_extra_features(
+                    c, rpn_scores_raw, backbone_xyz,
+                    input_dict.get("rpn_intensity"))
+                output["seg_result"] = seg_mask
+                pts_feature = jnp.concatenate([extra, backbone_feats], axis=-1)
+
+                if train:
+                    target = proposal_target_layer(
+                        self.make_rng("target"), rois, roi_valid,
+                        input_dict["gt_boxes3d"], backbone_xyz, pts_feature,
+                        c, aug_data=c.AUG_DATA)
+                    target = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                    target)
+                    pts_input = jnp.concatenate(
+                        [target["sampled_pts"], target["pts_feature"]], axis=2)
+                    output.update(target)
+                else:
+                    pooled, empty = roipool3d(
+                        backbone_xyz, pts_feature, rois,
+                        float(c.RCNN.POOL_EXTRA_WIDTH),
+                        int(c.RCNN.NUM_POINTS))
+                    # canonical transform (reference: rcnn_net.py:146-152)
+                    roi_center = rois[..., 0:3]
+                    pooled = pooled.at[..., 0:3].add(
+                        -roi_center[:, :, None, :])
+                    pooled = pooled.at[..., 0:3].set(rotate_points_along_y(
+                        pooled[..., 0:3], rois[..., 6][..., None]))
+                    pts_input = pooled.reshape(-1, pooled.shape[2],
+                                               pooled.shape[3])
+                    output["pooled_empty_flag"] = empty
+
+                rcnn_out = RCNNNet(cfg=c, num_classes=self.num_classes,
+                                   name="rcnn_net")(
+                    pts_input, train=train, bn_momentum=bn_momentum)
+                output.update(rcnn_out)
+
+        elif c.RCNN.ENABLED:
+            # RCNN-offline mode: pooled/canonical inputs come from the loader
+            rcnn_out = RCNNNet(cfg=c, num_classes=self.num_classes,
+                               name="rcnn_net")(
+                input_dict["pts_input"], train=train, bn_momentum=bn_momentum)
+            output.update(rcnn_out)
+
+        return output

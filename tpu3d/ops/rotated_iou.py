@@ -116,12 +116,22 @@ def _pair_intersection_area(corners_a, corners_b):
     of A∩B consists of the parts of A's edges inside B plus the parts of B's
     edges inside A, so the shoelace area decomposes into per-edge line integrals
     of Liang-Barsky-clipped sub-segments — pure elementwise min/max arithmetic.
-    B's edges are clipped with a tiny inward epsilon so exactly-coincident
-    boundaries (identical boxes, whose cross products are bitwise zero) are not
-    double counted.
+
+    Robustness: each pair is first shifted to its own local frame (f32
+    catastrophic cancellation at ~80 m scene coordinates would otherwise put
+    rounding/FMA noise near the clip margins), and the two passes use a
+    symmetric ±margin — A's edges clip against a slightly *enlarged* B, B's
+    edges against a slightly *shrunk* A — so exactly- or nearly-coincident
+    boundaries (e.g. a prediction identical to its gt) are deterministically
+    counted once rather than randomly zero or twice.
     """
-    ia = _clipped_edge_integral(corners_a, corners_b)
-    ib = _clipped_edge_integral(corners_b, corners_a, eps=1e-8)
+    mid = 0.5 * (jnp.mean(corners_a, axis=-2, keepdims=True)
+                 + jnp.mean(corners_b, axis=-2, keepdims=True))
+    ca = corners_a - mid
+    cb = corners_b - mid
+    margin = 1e-4  # >> centered-frame f32 noise, << any real box dimension
+    ia = _clipped_edge_integral(ca, cb, eps=-margin)
+    ib = _clipped_edge_integral(cb, ca, eps=margin)
     return 0.5 * jnp.abs(ia + ib)
 
 

@@ -1,0 +1,166 @@
+"""Training state, optimizer (adam / adam_onecycle), and jitted train/eval steps.
+
+Replaces the reference's fastai OptimWrapper + OneCycle stack
+(tools/train_utils/{fastai_optim.py,learning_schedules_fastai.py}) with optax:
+- 'adam_onecycle': cosine one-cycle LR (peak cfg.TRAIN.LR, div_factor, pct_start,
+  final 1e4 further down — the fastai phases) with the b1-momentum counter-cycle
+  (MOMS high->low->high), true weight decay on non-BN/bias kernels only;
+- 'adam': step-decay LR over DECAY_STEP_LIST with optional linear warmup;
+- global-norm gradient clipping (cfg.TRAIN.GRAD_NORM_CLIP, train_utils.py:136);
+- BN momentum schedule (BNMomentumScheduler parity) as a traced scalar.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.train_functions import model_loss
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: Any = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            batch_stats=batch_stats,
+                            opt_state=new_opt_state)
+
+
+def _wd_mask(params):
+    """True weight decay only on matmul kernels (bias/BN scale excluded) —
+    mirrors the reference's layer-group split intent (fastai_optim.py:101-233)."""
+    def mask_leaf(path, _):
+        return path[-1].key == "kernel"
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def make_lr_schedule(cfg, steps_per_epoch: int, total_epochs: int):
+    train = cfg.TRAIN
+    total_steps = max(1, steps_per_epoch * total_epochs)
+    if train.OPTIMIZER == "adam_onecycle":
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=train.LR,
+            pct_start=train.PCT_START, div_factor=train.DIV_FACTOR,
+            final_div_factor=1e4)
+    # step decay (+ optional warmup), reference: train_rcnn.py lr_lbmd/CosineWarmupLR
+    boundaries = {e * steps_per_epoch: train.LR_DECAY
+                  for e in train.DECAY_STEP_LIST}
+    base = optax.piecewise_constant_schedule(train.LR, boundaries)
+
+    def sched(step):
+        lr = jnp.maximum(base(step), train.LR_CLIP)
+        if train.LR_WARMUP and train.WARMUP_EPOCH > 0:
+            warm_steps = train.WARMUP_EPOCH * steps_per_epoch
+            frac = jnp.clip(step / max(warm_steps, 1), 0.0, 1.0)
+            warm_lr = train.WARMUP_MIN + (train.LR - train.WARMUP_MIN) * frac
+            lr = jnp.where(step < warm_steps, warm_lr, lr)
+        return lr
+
+    return sched
+
+
+def make_momentum_schedule(cfg, steps_per_epoch: int, total_epochs: int):
+    """fastai one-cycle momentum: MOMS[0] -> MOMS[1] -> MOMS[0] cosine."""
+    train = cfg.TRAIN
+    if train.OPTIMIZER != "adam_onecycle":
+        return lambda step: train.MOMENTUM
+    total_steps = max(1, steps_per_epoch * total_epochs)
+    up = int(total_steps * train.PCT_START)
+    hi, lo = train.MOMS
+
+    def sched(step):
+        phase1 = 0.5 * (hi - lo) * (1 + jnp.cos(jnp.pi * step / max(up, 1))) + lo
+        t = (step - up) / max(total_steps - up, 1)
+        phase2 = 0.5 * (hi - lo) * (1 - jnp.cos(jnp.pi * t)) + lo
+        return jnp.where(step < up, phase1, phase2)
+
+    return sched
+
+
+def make_optimizer(cfg, steps_per_epoch: int, total_epochs: int,
+                   params) -> optax.GradientTransformation:
+    train = cfg.TRAIN
+    lr = make_lr_schedule(cfg, steps_per_epoch, total_epochs)
+    mom = make_momentum_schedule(cfg, steps_per_epoch, total_epochs)
+    wd = float(train.WEIGHT_DECAY)
+    adam = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr, b1=mom, weight_decay=wd,
+        mask=_wd_mask(params) if wd > 0 else None)
+    return optax.chain(optax.clip_by_global_norm(train.GRAD_NORM_CLIP), adam)
+
+
+def create_train_state(cfg, model, sample_input, rng, steps_per_epoch: int,
+                       total_epochs: int, train: bool = True) -> TrainState:
+    p_rng, d_rng, t_rng = jax.random.split(rng, 3)
+    # init under jit — eager init would execute the whole forward op-by-op
+    init_fn = jax.jit(functools.partial(model.init, train=train))
+    variables = init_fn(
+        {"params": p_rng, "dropout": d_rng, "target": t_rng}, sample_input)
+    tx = make_optimizer(cfg, steps_per_epoch, total_epochs,
+                        variables["params"])
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(variables["params"]), tx=tx)
+
+
+def bn_momentum_at_epoch(cfg, epoch: int) -> float:
+    """flax-convention BN momentum following the reference's BNMomentumScheduler
+    (train_utils.py:24-45): torch momentum BN_MOMENTUM·BN_DECAY^k (clipped at
+    BNM_CLIP), k = #decay steps passed."""
+    train = cfg.TRAIN
+    k = sum(1 for e in train.BN_DECAY_STEP_LIST if epoch >= e)
+    torch_m = max(train.BN_MOMENTUM * train.BN_DECAY ** k, train.BNM_CLIP)
+    return 1.0 - torch_m
+
+
+def make_train_step(cfg, model):
+    """Returns train_step(state, batch, rng, bn_momentum) -> (state, metrics)."""
+
+    def train_step(state, batch, rng, bn_momentum):
+        d_rng, t_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+        input_dict = {"pts_input": batch["pts_input"]}
+        if "gt_boxes3d" in batch:
+            input_dict["gt_boxes3d"] = batch["gt_boxes3d"]
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                input_dict, train=True, bn_momentum=bn_momentum,
+                mutable=["batch_stats"],
+                rngs={"dropout": d_rng, "target": t_rng})
+            loss, tb = model_loss(cfg, out, batch)
+            return loss, (mutated["batch_stats"], tb)
+
+        (loss, (new_bs, tb)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        tb["grad_norm"] = optax.global_norm(grads)
+        return new_state, tb
+
+    return train_step
+
+
+def make_eval_step(cfg, model):
+    def eval_step(state, batch):
+        input_dict = {"pts_input": batch["pts_input"]}
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            input_dict, train=False)
+        return out
+
+    return eval_step

@@ -1,0 +1,286 @@
+"""Inference/eval CLI for PointRCNN — KITTI-format detections + recall metrics.
+
+Reference parity: pointrcnn/tools/eval_rcnn.py (eval_one_epoch_joint / _rpn):
+same output layout (final_result/data/*.txt incl. empty files for undetected
+frames, reference :638-649), same decode -> sigmoid score thresh -> per-scene
+rotated NMS -> save_kitti_format pipeline (corner projection, >80%-of-image box
+drop, alpha from beta + ry; reference :76-101), same recall@{0.1..0.9} tables.
+The whole model + decode + NMS runs as one jitted device program per batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import cfg, cfg_from_file, cfg_from_list
+from ..datasets import BatchLoader, KittiRCNNDataset, create_synthetic_kitti
+from ..kitti.boxes import corners_from_boxes3d
+from ..models import PointRCNN, decode_bbox_target
+from ..ops.nms import nms_bev
+from ..ops.rotated_iou import boxes_iou3d, boxes3d_to_bev5
+from ..parallel import make_mesh, shard_batch
+from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+from ..utils.logging import create_logger
+from .train_rcnn import configure_mode
+
+THRESH_LIST = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="evaluate PointRCNN (tpu)")
+    parser.add_argument("--cfg_file", type=str, default=None)
+    parser.add_argument("--eval_mode", type=str, default="rcnn",
+                        choices=["rpn", "rcnn", "joint"])
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--dataset", type=str, default="kitti")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--test", action="store_true",
+                        help="TEST split (no labels)")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--seed", type=int, default=666)
+    parser.add_argument("--set", dest="set_cfgs", default=None,
+                        nargs=argparse.REMAINDER)
+    return parser.parse_args(argv)
+
+
+def save_kitti_format(sample_id, calib, bbox3d, kitti_output_dir, scores,
+                      img_shape, classes="Car"):
+    """Write one frame's detections (reference: eval_rcnn.py:76-101)."""
+    if len(bbox3d) == 0:
+        with open(os.path.join(kitti_output_dir, "%06d.txt" % sample_id), "w"):
+            pass
+        return 0
+    corners3d = corners_from_boxes3d(bbox3d)
+    img_boxes, _ = calib.corners3d_to_img_boxes(corners3d)
+    img_boxes[:, 0] = np.clip(img_boxes[:, 0], 0, img_shape[1] - 1)
+    img_boxes[:, 1] = np.clip(img_boxes[:, 1], 0, img_shape[0] - 1)
+    img_boxes[:, 2] = np.clip(img_boxes[:, 2], 0, img_shape[1] - 1)
+    img_boxes[:, 3] = np.clip(img_boxes[:, 3], 0, img_shape[0] - 1)
+    w = img_boxes[:, 2] - img_boxes[:, 0]
+    h = img_boxes[:, 3] - img_boxes[:, 1]
+    valid = (w < img_shape[1] * 0.8) & (h < img_shape[0] * 0.8)
+
+    n = 0
+    with open(os.path.join(kitti_output_dir, "%06d.txt" % sample_id), "w") as f:
+        for k in range(bbox3d.shape[0]):
+            if not valid[k]:
+                continue
+            x, z, ry = bbox3d[k, 0], bbox3d[k, 2], bbox3d[k, 6]
+            beta = np.arctan2(z, x)
+            alpha = -np.sign(beta) * np.pi / 2 + beta + ry
+            print("%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f "
+                  "%.4f %.4f %.4f"
+                  % (classes, alpha, img_boxes[k, 0], img_boxes[k, 1],
+                     img_boxes[k, 2], img_boxes[k, 3], bbox3d[k, 3],
+                     bbox3d[k, 4], bbox3d[k, 5], bbox3d[k, 0], bbox3d[k, 1],
+                     bbox3d[k, 2], bbox3d[k, 6], scores[k]), file=f)
+            n += 1
+    return n
+
+
+def make_infer_step(model, eval_cfg, max_final: int = 100):
+    """One jitted program: forward -> RCNN decode -> score thresh -> rotated
+    NMS -> fixed-size final boxes + validity."""
+
+    mean_size = jnp.asarray(eval_cfg.CLS_MEAN_SIZE[0])
+
+    def infer(variables, pts_input):
+        out = model.apply(variables, {"pts_input": pts_input}, train=False)
+        rois = out["rois"]  # (B, M, 7)
+        b, m = rois.shape[0], rois.shape[1]
+        rcnn_reg = out["rcnn_reg"].reshape(b, m, -1)
+        rcnn_cls = out["rcnn_cls"].reshape(b, m)
+        pred_boxes3d = decode_bbox_target(
+            rois.reshape(-1, 7), rcnn_reg.reshape(b * m, -1),
+            anchor_size=mean_size, loc_scope=eval_cfg.RCNN.LOC_SCOPE,
+            loc_bin_size=eval_cfg.RCNN.LOC_BIN_SIZE,
+            num_head_bin=eval_cfg.RCNN.NUM_HEAD_BIN, get_xz_fine=True,
+            get_y_by_bin=eval_cfg.RCNN.LOC_Y_BY_BIN,
+            loc_y_scope=eval_cfg.RCNN.LOC_Y_SCOPE,
+            loc_y_bin_size=eval_cfg.RCNN.LOC_Y_BIN_SIZE,
+            get_ry_fine=True).reshape(b, m, 7)
+        norm_scores = jax.nn.sigmoid(rcnn_cls)
+        keep_scores = ((norm_scores > eval_cfg.RCNN.SCORE_THRESH)
+                       & out["roi_valid"])
+
+        def per_image(boxes, raw_scores, valid):
+            bev = boxes3d_to_bev5(boxes)
+            idx, mask = nms_bev(bev, raw_scores, eval_cfg.RCNN.NMS_THRESH,
+                                max_final, valid=valid, rotated=True)
+            return boxes[idx], raw_scores[idx], mask
+
+        final_boxes, final_scores, final_mask = jax.vmap(per_image)(
+            pred_boxes3d, rcnn_cls, keep_scores)
+        return {
+            "final_boxes": final_boxes, "final_scores": final_scores,
+            "final_mask": final_mask, "rois": rois,
+            "roi_scores_raw": out["roi_scores_raw"],
+            "roi_valid": out["roi_valid"], "seg_result": out["seg_result"],
+            "pred_boxes3d": pred_boxes3d, "norm_scores": norm_scores,
+        }
+
+    return infer
+
+
+def _recall_counts(pred_boxes, gt_boxes, thresh_list=THRESH_LIST):
+    """gt recall at IoU thresholds (reference: eval_rcnn.py:545-560)."""
+    if len(gt_boxes) == 0:
+        return np.zeros(len(thresh_list), np.int64), 0
+    if len(pred_boxes) == 0:
+        return np.zeros(len(thresh_list), np.int64), len(gt_boxes)
+    iou = np.asarray(boxes_iou3d(jnp.asarray(pred_boxes, jnp.float32),
+                                 jnp.asarray(gt_boxes, jnp.float32)))
+    gt_max = iou.max(axis=0)
+    return np.array([(gt_max > t).sum() for t in thresh_list]), len(gt_boxes)
+
+
+def eval_one_epoch_joint(args, model, variables, loader, result_dir, logger):
+    dataset = loader.dataset
+    final_output_dir = os.path.join(result_dir, "final_result", "data")
+    os.makedirs(final_output_dir, exist_ok=True)
+
+    mesh = make_mesh()
+    infer = jax.jit(make_infer_step(model, cfg))
+    total_recall = np.zeros(len(THRESH_LIST), np.int64)
+    total_roi_recall = np.zeros(len(THRESH_LIST), np.int64)
+    total_gt = 0
+    final_total = 0
+    n_scenes = 0
+    t_start = None
+    for batch in loader:
+        batch_dev = shard_batch(mesh, {"pts_input": batch["pts_input"]})
+        out = infer(variables, batch_dev["pts_input"])
+        out = jax.device_get(out)
+        if t_start is None:  # skip compile in timing
+            t_start = time.time()
+            scenes_timed = 0
+        for k in range(len(batch["sample_id"])):
+            if not batch["batch_valid"][k]:
+                continue
+            n_scenes += 1
+            scenes_timed += 1
+            sample_id = int(batch["sample_id"][k])
+            mask = out["final_mask"][k]
+            boxes = out["final_boxes"][k][mask]
+            scores = out["final_scores"][k][mask]
+            calib = dataset.get_calib(sample_id)
+            img_shape = dataset.get_image_shape(sample_id)
+            final_total += save_kitti_format(
+                sample_id, calib, boxes, final_output_dir, scores, img_shape,
+                classes=cfg.CLASSES)
+            if not args.test and "gt_boxes3d" in batch:
+                gt = batch["gt_boxes3d"][k]
+                gt = gt[np.abs(gt).sum(axis=1) > 0]
+                rec, n_gt = _recall_counts(boxes, gt)
+                total_recall += rec
+                total_gt += n_gt
+                rois_k = out["rois"][k][out["roi_valid"][k]]
+                roi_rec, _ = _recall_counts(rois_k, gt)
+                total_roi_recall += roi_rec
+    elapsed = time.time() - (t_start or time.time())
+
+    # dump empty files for frames with no detections (reference :638-649)
+    empty_cnt = 0
+    for sid in dataset.image_idx_list:
+        cur = os.path.join(final_output_dir, f"{sid}.txt")
+        if not os.path.exists(cur):
+            open(cur, "w").close()
+            empty_cnt += 1
+    logger.info(f"final average detections: "
+                f"{final_total / max(n_scenes, 1):.3f}")
+    if total_gt > 0:
+        for i, t in enumerate(THRESH_LIST):
+            logger.info(f"total bbox recall(thresh={t:.3f}): "
+                        f"{int(total_recall[i])} / {total_gt} = "
+                        f"{total_recall[i] / total_gt:.6f}")
+            logger.info(f"total roi  recall(thresh={t:.3f}): "
+                        f"{int(total_roi_recall[i])} / {total_gt} = "
+                        f"{total_roi_recall[i] / total_gt:.6f}")
+    scenes_per_sec = (scenes_timed / elapsed) if elapsed > 0 else 0.0
+    logger.info(f"inference throughput: {scenes_per_sec:.2f} scenes/s "
+                f"({scenes_timed} scenes in {elapsed:.2f}s, post-compile)")
+    return {
+        "recall": {t: float(total_recall[i] / max(total_gt, 1))
+                   for i, t in enumerate(THRESH_LIST)},
+        "roi_recall": {t: float(total_roi_recall[i] / max(total_gt, 1))
+                       for i, t in enumerate(THRESH_LIST)},
+        "avg_detections": final_total / max(n_scenes, 1),
+        "scenes_per_sec": scenes_per_sec,
+        "final_output_dir": final_output_dir,
+        "empty_cnt": empty_cnt,
+    }
+
+
+def main(argv=None):
+    import os as _os
+
+    import jax as _jax
+
+    # TPU3D_PLATFORM=cpu forces the CPU backend (the axon plugin
+    # overrides JAX_PLATFORMS, so use jax.config)
+    if _os.environ.get("TPU3D_PLATFORM"):
+        _jax.config.update("jax_platforms",
+                           _os.environ["TPU3D_PLATFORM"])
+    args = parse_args(argv)
+    if args.cfg_file:
+        cfg_from_file(args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(args.set_cfgs)
+    # eval modes mirror train modes (reference: eval_rcnn.py:878-895)
+    configure_mode("joint" if args.eval_mode in ("rcnn", "joint") else "rpn")
+    if args.eval_mode == "rcnn":
+        cfg.RPN.FIXED = True
+
+    result_dir = args.output_dir or os.path.join(
+        "output", "eval", cfg.TAG, f"eval_{args.dataset}")
+    os.makedirs(result_dir, exist_ok=True)
+    logger = create_logger(os.path.join(result_dir, "log_eval.txt"))
+
+    if args.synthetic:
+        data_root = os.path.join(result_dir, "synthetic_data")
+        if not os.path.exists(os.path.join(data_root, "KITTI")):
+            create_synthetic_kitti(data_root, n_frames=8, image_files=True)
+        args.data_root = data_root
+    data_root = args.data_root or os.path.join("multi_data", args.dataset)
+
+    split = "test" if args.test else cfg.TEST.SPLIT
+    dataset = KittiRCNNDataset(
+        root_dir=data_root, npoints=cfg.RPN.NUM_POINTS, split=split,
+        mode="TEST" if args.test else "EVAL", classes=cfg.CLASSES, cfg=cfg,
+        random_select=True, logger=logger, seed=args.seed)
+    loader = BatchLoader(dataset, args.batch_size, shuffle=False,
+                         num_workers=args.workers)
+
+    model = PointRCNN(cfg=cfg, mode="TEST")
+    sample = next(iter(loader))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "target": jax.random.PRNGKey(2)}
+    from ..parallel import create_train_state
+
+    state = create_train_state(cfg, model,
+                               {"pts_input": sample["pts_input"][:1]},
+                               jax.random.PRNGKey(0), 1, 1, train=False)
+    ckpt = args.ckpt or (latest_checkpoint(args.ckpt_dir)
+                         if args.ckpt_dir else None)
+    if ckpt:
+        state, epoch = load_checkpoint(ckpt, state)
+        logger.info(f"loaded checkpoint {ckpt} (epoch {epoch})")
+    else:
+        logger.warning("no checkpoint given — evaluating random weights")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return eval_one_epoch_joint(args, model, variables, loader, result_dir,
+                                logger)
+
+
+if __name__ == "__main__":
+    main()

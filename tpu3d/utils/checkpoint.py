@@ -1,0 +1,109 @@
+"""Checkpoint save / load / partial-load.
+
+Reference parity: tools/train_utils/train_utils.py:60-111 — checkpoints carry
+{epoch, step, params, batch_stats, opt_state}; ``load_part_ckpt`` grafts only the
+parameter subtrees whose paths exist in both (the reference's intersect-state-dict
+partial load, used to warm-start the RCNN stage from an RPN checkpoint and for
+cross-domain fine-tunes). Serialization is flax msgpack (no torch pickles).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def checkpoint_state(state, epoch: int) -> dict:
+    return {
+        "epoch": np.int32(epoch),
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+
+
+def save_checkpoint(ckpt_dir: str, state, epoch: int) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"checkpoint_epoch_{epoch}.msgpack")
+    payload = flax.serialization.to_bytes(checkpoint_state(state, epoch))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, state):
+    """Full restore (params + optimizer + step); returns (state, epoch)."""
+    with open(path, "rb") as f:
+        payload = f.read()
+    template = checkpoint_state(state, 0)
+    restored = flax.serialization.from_bytes(template, payload)
+    state = state.replace(
+        step=jnp.asarray(restored["step"]),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+    return state, int(restored["epoch"])
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+        return out
+    return {prefix: tree}
+
+
+def _unflatten_into(tree, flat):
+    if isinstance(tree, dict):
+        return {k: _unflatten_into(v, {p[1:]: x for p, x in flat.items()
+                                       if p and p[0] == k})
+                for k, v in tree.items()}
+    return flat.get((), tree)
+
+
+def load_part_ckpt(path: str, state, logger=None):
+    """Graft matching (path, shape) params/batch_stats from a checkpoint
+    (reference: train_utils.py:95-111 load_part_ckpt)."""
+    with open(path, "rb") as f:
+        payload = f.read()
+    raw = flax.serialization.msgpack_restore(payload)
+    updated = 0
+    new_state = {}
+    for field in ("params", "batch_stats"):
+        current = jax.device_get(getattr(state, field))
+        have = _flatten(raw.get(field, {}))
+        cur_flat = _flatten(current)
+        merged = {}
+        for p, v in cur_flat.items():
+            if p in have and np.shape(have[p]) == np.shape(v):
+                merged[p] = np.asarray(have[p], dtype=np.asarray(v).dtype)
+                updated += 1
+            else:
+                merged[p] = v
+        new_state[field] = _unflatten_into(current, merged)
+    if logger:
+        logger.info(f"load_part_ckpt: grafted {updated} arrays from {path}")
+    return state.replace(params=new_state["params"],
+                         batch_stats=new_state["batch_stats"])
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_epoch = None, -1
+    for fname in os.listdir(ckpt_dir):
+        m = re.match(r"checkpoint_epoch_(\d+)\.msgpack$", fname)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = os.path.join(ckpt_dir, fname)
+    return best
