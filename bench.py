@@ -47,15 +47,17 @@ def main():
          "target": jax.random.PRNGKey(2)},
         {"pts_input": pts[:1]}, train=False)
 
-    infer = jax.jit(make_infer_step(model, cfg))
-    out = infer(variables, pts)  # compile
-    jax.block_until_ready(out)
+    # reduce outputs to one scalar on device so each iteration syncs with a
+    # 4-byte host pull (block_until_ready does not reliably block through the
+    # axon tunnel, and pulling full outputs would measure tunnel bandwidth)
+    raw_infer = make_infer_step(model, cfg)
+    infer = jax.jit(lambda v, p: raw_infer(v, p)["final_scores"].sum())
+    float(infer(variables, pts))  # compile
 
     n_iters = 5
     t0 = time.time()
     for i in range(n_iters):
-        out = infer(variables, pts)
-    jax.block_until_ready(out)
+        s = float(infer(variables, pts))
     dt = time.time() - t0
     scenes_per_sec = batch * n_iters / dt
 

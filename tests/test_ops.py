@@ -293,3 +293,15 @@ def test_jax_geometry_matches_numpy(rng):
     np.testing.assert_array_equal(
         np.asarray(ops.points_in_boxes3d(jnp.asarray(pts), jnp.asarray(boxes))),
         npboxes.points_in_boxes3d(pts, boxes))
+
+
+def test_fps_pallas_interpret_matches_xla(rng):
+    """The Pallas FPS kernel (interpret mode on CPU) must match the XLA path."""
+    import jax.numpy as jnp
+
+    from tpu3d.ops import sampling
+
+    xyz = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+    ref = np.asarray(sampling._fps_xla(xyz, 64))
+    got = np.asarray(sampling._fps_pallas(xyz, 64, interpret=True))
+    np.testing.assert_array_equal(got, ref)

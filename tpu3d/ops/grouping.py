@@ -27,20 +27,28 @@ import numpy as np
 
 def _ball_query_one(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
                     nsample: int) -> jnp.ndarray:
-    """(M, 3) centers × (N, 3) pts -> (M, nsample) int32."""
+    """(M, 3) centers × (N, 3) pts -> (M, nsample) int32.
+
+    Scatter-free "first k in index order": in-radius points keep their index as
+    the sort key, misses get the sentinel N, and one lax.top_k(-keys) per row
+    returns the nsample smallest keys — i.e. the first hits, already ordered.
+    (The earlier prefix-sum+scatter formulation serialized on TPU: 2.6 s for the
+    first SA layer at eval shapes vs ~30 ms for this one.)
+    """
+    n = pts.shape[0]
     d2 = jnp.sum((centers[:, None, :] - pts[None, :, :]) ** 2, axis=-1)  # (M, N)
     mask = d2 < radius * radius
-    n = pts.shape[0]
-    ranks = jnp.cumsum(mask, axis=1) - 1  # slot per in-radius point
-    pos = jnp.where(mask & (ranks < nsample), ranks, nsample)
-    pt_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mask.shape)
-    out = jnp.zeros((centers.shape[0], nsample), dtype=jnp.int32)
-    out = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out, pos, pt_idx)
-    # pad empty slots with the first hit (slot 0; zero when no hit at all)
-    counts = jnp.sum(mask, axis=1)
-    slot = jnp.arange(nsample)
-    return jnp.where(slot[None, :] < jnp.maximum(counts, 1)[:, None], out,
-                     out[:, 0:1])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(mask, iota[None, :], n)
+    if n < nsample:  # fewer points than slots: pad with sentinels
+        keys = jnp.concatenate(
+            [keys, jnp.full((keys.shape[0], nsample - n), n, jnp.int32)], axis=1)
+    neg_keys, _ = jax.lax.top_k(-keys, nsample)  # ascending keys
+    idx = -neg_keys
+    hit = idx < n
+    # pad with the first hit; all-miss rows become 0 (CUDA parity)
+    first = jnp.where(hit[:, 0:1], idx[:, 0:1], 0)
+    return jnp.where(hit, idx, first).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("radius", "nsample", "query_chunk"))

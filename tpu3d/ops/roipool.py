@@ -27,13 +27,17 @@ def _pool_one(pts: jnp.ndarray, feats: jnp.ndarray, boxes: jnp.ndarray,
               num_sampled: int):
     """(N, 3) pts, (N, C) feats, (M, 7) boxes -> ((M, K, 3+C), (M,) empty flag)."""
     n = pts.shape[0]
-    m = boxes.shape[0]
     inside = points_in_boxes3d(pts, boxes).T  # (M, N)
-    ranks = jnp.cumsum(inside, axis=1) - 1
-    pos = jnp.where(inside & (ranks < num_sampled), ranks, num_sampled)
-    pt_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (m, n))
-    slots = jnp.zeros((m, num_sampled), dtype=jnp.int32)
-    slots = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(slots, pos, pt_idx)
+    # scatter-free first-k selection (see grouping._ball_query_one): index keys
+    # + one top_k give the first num_sampled interior points in index order
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(inside, iota[None, :], n)
+    if n < num_sampled:  # fewer points than slots: pad with sentinels
+        keys = jnp.concatenate(
+            [keys, jnp.full((keys.shape[0], num_sampled - n), n, jnp.int32)],
+            axis=1)
+    neg_keys, _ = jax.lax.top_k(-keys, num_sampled)
+    slots = jnp.clip(-neg_keys, 0, n - 1).astype(jnp.int32)
     counts = jnp.sum(inside, axis=1)  # (M,)
     empty = counts == 0
     # wraparound duplicate fill: slot k reads slot k % count

@@ -26,7 +26,20 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     Padding convention: callers padding N with duplicate points are safe — a
     duplicate has distance 0 to its twin and is never picked while distinct
     points remain.
+
+    Dispatches to the Pallas kernel on TPU (running-min distances live in VMEM
+    for the whole pick loop); the lax.fori_loop path is the portable fallback
+    and the test oracle's jax twin.
     """
+    B, N, _ = xyz.shape
+    if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 256
+            and npoint >= 1):
+        return _fps_pallas(xyz, npoint)
+    return _fps_xla(xyz, npoint)
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def _fps_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     B, N, _ = xyz.shape
 
     def one_batch(pts):
@@ -44,6 +57,59 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
         return idx
 
     return jax.vmap(one_batch)(xyz)
+
+
+def _fps_pallas(xyz: jnp.ndarray, npoint: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """Pallas FPS: the whole O(m·N) pick loop runs on-core — per pick, one
+    fused VPU pass computes squared distances to the last pick, folds the
+    running min (kept in VMEM scratch for the whole loop), and a masked-min
+    reduction selects the next index. This is the CUDA kernel's shared-memory
+    reduction (sampling_gpu.cu:94-180) mapped to VMEM; the XLA fallback pays
+    HBM round-trips for the (B, N) distance state every iteration.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, _ = xyz.shape
+    rows = N // 128
+    m_rows = -(-npoint // 128)
+    xyz_t = jnp.transpose(xyz, (0, 2, 1)).reshape(B, 3, rows, 128)
+
+    def kernel(xyz_ref, out_ref, dist_ref):
+        x = xyz_ref[0, 0]  # (rows, 128)
+        y = xyz_ref[0, 1]
+        z = xyz_ref[0, 2]
+        dist_ref[...] = jnp.full((rows, 128), jnp.inf, jnp.float32)
+        out_ref[...] = jnp.zeros((1, m_rows, 128), jnp.int32)
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        lin_ids = row_ids * 128 + col_ids
+
+        def body(j, last):
+            lr, lc = last
+            lx, ly, lz = x[lr, lc], y[lr, lc], z[lr, lc]
+            d2 = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+            mind = jnp.minimum(dist_ref[...], d2)
+            dist_ref[...] = mind
+            best = jnp.max(mind)
+            nxt = jnp.min(jnp.where(mind == best, lin_ids, rows * 128))
+            out_ref[0, j // 128, j % 128] = nxt
+            return (nxt // 128, nxt % 128)
+
+        jax.lax.fori_loop(1, npoint, body, (jnp.int32(0), jnp.int32(0)))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, rows, 128), lambda b: (b, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, m_rows, 128), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, m_rows, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)],
+        interpret=interpret,
+    )(xyz_t)
+    return out.reshape(B, m_rows * 128)[:, :npoint]
 
 
 @jax.jit
