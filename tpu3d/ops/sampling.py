@@ -86,19 +86,26 @@ def _fps_pallas(xyz: jnp.ndarray, npoint: int,
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         lin_ids = row_ids * 128 + col_ids
+        out_lin = (jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 0) * 128
+                   + jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 1))
 
-        def body(j, last):
-            lr, lc = last
-            lx, ly, lz = x[lr, lc], y[lr, lc], z[lr, lc]
+        # Mosaic has no dynamic scalar gathers/scatters in TC kernels, so the
+        # last pick's coords come from masked reductions and the output slot is
+        # written with a masked full-buffer update.
+        def body(j, last_idx):
+            sel = lin_ids == last_idx
+            lx = jnp.sum(jnp.where(sel, x, 0.0))
+            ly = jnp.sum(jnp.where(sel, y, 0.0))
+            lz = jnp.sum(jnp.where(sel, z, 0.0))
             d2 = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
             mind = jnp.minimum(dist_ref[...], d2)
             dist_ref[...] = mind
             best = jnp.max(mind)
             nxt = jnp.min(jnp.where(mind == best, lin_ids, rows * 128))
-            out_ref[0, j // 128, j % 128] = nxt
-            return (nxt // 128, nxt % 128)
+            out_ref[0] = jnp.where(out_lin == j, nxt, out_ref[0])
+            return nxt
 
-        jax.lax.fori_loop(1, npoint, body, (jnp.int32(0), jnp.int32(0)))
+        jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
 
     out = pl.pallas_call(
         kernel,

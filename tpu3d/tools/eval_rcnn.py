@@ -48,6 +48,15 @@ def parse_args(argv=None):
                         help="TEST split (no labels)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--seed", type=int, default=666)
+    parser.add_argument("--save_rpn_feature", action="store_true",
+                        help="dump per-scene backbone features/xyz/seg for "
+                             "offline RCNN training")
+    parser.add_argument("--save_result", action="store_true")
+    parser.add_argument("--eval_all", action="store_true",
+                        help="daemon: repeatedly evaluate new checkpoints in "
+                             "--ckpt_dir (reference repeat_eval_ckpt)")
+    parser.add_argument("--wait_seconds", type=int, default=30)
+    parser.add_argument("--max_waitmins", type=int, default=30)
     parser.add_argument("--set", dest="set_cfgs", default=None,
                         nargs=argparse.REMAINDER)
     return parser.parse_args(argv)
@@ -142,6 +151,86 @@ def _recall_counts(pred_boxes, gt_boxes, thresh_list=THRESH_LIST):
                                  jnp.asarray(gt_boxes, jnp.float32)))
     gt_max = iou.max(axis=0)
     return np.array([(gt_max > t).sum() for t in thresh_list]), len(gt_boxes)
+
+
+def save_rpn_features(out, batch, k, features_dir, sample_id):
+    """Dump backbone features for offline RCNN training (reference:
+    eval_rcnn.py:104-117 save_rpn_features: %06d{,_xyz,_seg,_intensity,
+    _rawscore}.npy)."""
+    np.save(os.path.join(features_dir, "%06d.npy" % sample_id),
+            out["backbone_features"][k])
+    np.save(os.path.join(features_dir, "%06d_xyz.npy" % sample_id),
+            out["backbone_xyz"][k])
+    np.save(os.path.join(features_dir, "%06d_seg.npy" % sample_id),
+            out["seg_result"][k])
+    np.save(os.path.join(features_dir, "%06d_intensity.npy" % sample_id),
+            batch["pts_features"][k][:, 0])
+    np.save(os.path.join(features_dir, "%06d_rawscore.npy" % sample_id),
+            out["rpn_scores_raw"][k])
+
+
+def eval_one_epoch_rpn(args, model, variables, loader, result_dir, logger):
+    """RPN-only eval: per-point seg IoU + proposal recall (+ feature dumps)
+    (reference parity: eval_rcnn.py:120-260 eval_one_epoch_rpn)."""
+    dataset = loader.dataset
+    mesh = make_mesh()
+    if args.save_rpn_feature:
+        features_dir = os.path.join(result_dir, "features")
+        os.makedirs(features_dir, exist_ok=True)
+
+    def rpn_infer(variables, pts_input):
+        out = model.apply(variables, {"pts_input": pts_input}, train=False)
+        rpn_scores_raw = out["rpn_cls"][:, :, 0]
+        rois, roi_scores, roi_valid = None, None, None
+        from ..models import proposal_layer
+
+        rois, roi_scores, roi_valid = proposal_layer(
+            rpn_scores_raw, out["rpn_reg"], out["backbone_xyz"], cfg, "TEST")
+        seg = (jax.nn.sigmoid(rpn_scores_raw) > cfg.RPN.SCORE_THRESH)
+        return {"rois": rois, "roi_scores_raw": roi_scores,
+                "roi_valid": roi_valid, "seg_result": seg,
+                "rpn_scores_raw": rpn_scores_raw,
+                "backbone_xyz": out["backbone_xyz"],
+                "backbone_features": out["backbone_features"]}
+
+    infer = jax.jit(rpn_infer)
+    total_recall = np.zeros(len(THRESH_LIST), np.int64)
+    total_gt = 0
+    rpn_iou_sum, n_scenes = 0.0, 0
+    for batch in loader:
+        batch_dev = shard_batch(mesh, {"pts_input": batch["pts_input"]})
+        out = jax.device_get(infer(variables, batch_dev["pts_input"]))
+        for k in range(len(batch["sample_id"])):
+            if not batch["batch_valid"][k]:
+                continue
+            n_scenes += 1
+            sample_id = int(batch["sample_id"][k])
+            if args.save_rpn_feature:
+                save_rpn_features(out, batch, k, features_dir, sample_id)
+            if not args.test and "rpn_cls_label" in batch:
+                seg = out["seg_result"][k].astype(bool)
+                label = batch["rpn_cls_label"][k]
+                fg = label > 0
+                union = float(np.sum(seg | fg))
+                inter = float(np.sum(seg & fg))
+                rpn_iou_sum += inter / max(union, 1.0)
+            if not args.test and "gt_boxes3d" in batch:
+                gt = batch["gt_boxes3d"][k]
+                gt = gt[np.abs(gt).sum(axis=1) > 0]
+                rois_k = out["rois"][k][out["roi_valid"][k]]
+                rec, n_gt = _recall_counts(rois_k, gt)
+                total_recall += rec
+                total_gt += n_gt
+    if total_gt > 0:
+        for i, t in enumerate(THRESH_LIST):
+            logger.info(f"total roi recall(thresh={t:.3f}): "
+                        f"{int(total_recall[i])} / {total_gt} = "
+                        f"{total_recall[i] / total_gt:.6f}")
+    avg_iou = rpn_iou_sum / max(n_scenes, 1)
+    logger.info(f"average rpn seg iou: {avg_iou:.6f}")
+    return {"rpn_iou": avg_iou,
+            "recall": {t: float(total_recall[i] / max(total_gt, 1))
+                       for i, t in enumerate(THRESH_LIST)}}
 
 
 def eval_one_epoch_joint(args, model, variables, loader, result_dir, logger):
@@ -270,6 +359,13 @@ def main(argv=None):
     state = create_train_state(cfg, model,
                                {"pts_input": sample["pts_input"][:1]},
                                jax.random.PRNGKey(0), 1, 1, train=False)
+    eval_fn = (eval_one_epoch_rpn if args.eval_mode == "rpn"
+               else eval_one_epoch_joint)
+
+    if args.eval_all and args.ckpt_dir:
+        return repeat_eval_ckpt(args, model, state, loader, result_dir, logger,
+                                eval_fn)
+
     ckpt = args.ckpt or (latest_checkpoint(args.ckpt_dir)
                          if args.ckpt_dir else None)
     if ckpt:
@@ -278,8 +374,51 @@ def main(argv=None):
     else:
         logger.warning("no checkpoint given — evaluating random weights")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    return eval_one_epoch_joint(args, model, variables, loader, result_dir,
-                                logger)
+    return eval_fn(args, model, variables, loader, result_dir, logger)
+
+
+def repeat_eval_ckpt(args, model, state, loader, result_dir, logger, eval_fn):
+    """Daemon: poll --ckpt_dir for new checkpoints, evaluate each once, record
+    evaluated epochs (reference parity: eval_rcnn.py:775-848 repeat_eval_ckpt —
+    30 s poll, skip-already-evaluated via a record file, give up after
+    max_waitmins with nothing new)."""
+    import re
+    import time as _time
+
+    record_file = os.path.join(result_dir, "eval_list_val.txt")
+    evaluated = set()
+    if os.path.isfile(record_file):
+        with open(record_file) as f:
+            evaluated = {int(x) for x in f.read().split() if x.strip()}
+    idle_start = time.time()
+    results = {}
+    while True:
+        candidates = []
+        if os.path.isdir(args.ckpt_dir):
+            for fname in os.listdir(args.ckpt_dir):
+                m = re.match(r"checkpoint_epoch_(\d+)\.msgpack$", fname)
+                if m and int(m.group(1)) not in evaluated:
+                    candidates.append((int(m.group(1)),
+                                       os.path.join(args.ckpt_dir, fname)))
+        if not candidates:
+            if time.time() - idle_start > args.max_waitmins * 60:
+                logger.info("repeat_eval: no new checkpoints, exiting")
+                return results
+            _time.sleep(args.wait_seconds)
+            continue
+        idle_start = time.time()
+        for epoch, path in sorted(candidates):
+            logger.info(f"repeat_eval: evaluating epoch {epoch} ({path})")
+            state, _ = load_checkpoint(path, state)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            epoch_dir = os.path.join(result_dir, f"epoch_{epoch}")
+            os.makedirs(epoch_dir, exist_ok=True)
+            results[epoch] = eval_fn(args, model, variables, loader, epoch_dir,
+                                     logger)
+            evaluated.add(epoch)
+            with open(record_file, "w") as f:
+                f.write("\n".join(str(e) for e in sorted(evaluated)))
 
 
 if __name__ == "__main__":
