@@ -50,9 +50,15 @@ def main():
     # reduce outputs to one scalar on device so each iteration syncs with a
     # 4-byte host pull (block_until_ready does not reliably block through the
     # axon tunnel, and pulling full outputs would measure tunnel bandwidth)
+    import sys
+
+    print("init done, compiling...", file=sys.stderr, flush=True)
     raw_infer = make_infer_step(model, cfg)
     infer = jax.jit(lambda v, p: raw_infer(v, p)["final_scores"].sum())
+    t_c = time.time()
     float(infer(variables, pts))  # compile
+    print(f"compile+first-run: {time.time() - t_c:.1f}s", file=sys.stderr,
+          flush=True)
 
     n_iters = 5
     t0 = time.time()

@@ -160,6 +160,80 @@ class KittiRCNNDataset(KittiDataset):
                      & (pts_rect[:, 2] <= z_range[1]))
         return flag
 
+    # ----- offline-RCNN support (features dumped by eval_rcnn --save_rpn_feature)
+    @staticmethod
+    def get_rpn_features(rpn_feature_dir, idx, use_seg_score=False):
+        """Load a scene's dumped backbone features (reference parity:
+        kitti_rcnn_dataset.py:141-154 get_rpn_features)."""
+        xyz = np.load(os.path.join(rpn_feature_dir, "%06d_xyz.npy" % idx))
+        features = np.load(os.path.join(rpn_feature_dir, "%06d.npy" % idx))
+        intensity = np.load(
+            os.path.join(rpn_feature_dir, "%06d_intensity.npy" % idx)).reshape(-1)
+        if use_seg_score:
+            raw = np.load(
+                os.path.join(rpn_feature_dir, "%06d_rawscore.npy" % idx)
+            ).reshape(-1)
+            seg = 1.0 / (1.0 + np.exp(-raw))
+        else:
+            seg = np.load(
+                os.path.join(rpn_feature_dir, "%06d_seg.npy" % idx)).reshape(-1)
+        return xyz, features, intensity, seg
+
+    def get_proposal_from_file(self, index):
+        """Offline-RCNN eval sample: saved proposals + dumped RPN features
+        (reference parity: kitti_rcnn_dataset.py:811-895)."""
+        from ..kitti.object3d import objs_to_boxes3d as _to_boxes
+        from ..kitti import read_label
+        from ..ops.roipool import roipool3d_numpy
+        from ..ops.rotated_iou import boxes_iou3d_numpy
+
+        cfg = self.cfg
+        sample_id = int(self.image_idx_list[index])
+        proposal_file = os.path.join(self.rcnn_eval_roi_dir,
+                                     "%06d.txt" % sample_id)
+        roi_objs = read_label(proposal_file)
+        rpn_xyz, rpn_features, rpn_intensity, seg_mask = self.get_rpn_features(
+            self.rcnn_eval_feature_dir, sample_id,
+            use_seg_score=cfg.RCNN.USE_SEG_SCORE)
+
+        roi_boxes3d = _to_boxes(roi_objs)
+        roi_scores = np.array([o.score or 0.0 for o in roi_objs], np.float32)
+
+        extras = []
+        if cfg.RCNN.USE_INTENSITY:
+            extras.append(rpn_intensity.reshape(-1, 1))
+        extras.append(seg_mask.reshape(-1, 1))
+        if cfg.RCNN.USE_DEPTH:
+            depth = np.linalg.norm(rpn_xyz, axis=1) / 70.0 - 0.5
+            extras.append(depth.reshape(-1, 1))
+        pts_feature = np.concatenate(
+            extras + [rpn_features], axis=1).astype(np.float32)
+
+        pooled, _empty = roipool3d_numpy(
+            rpn_xyz[None], pts_feature[None], roi_boxes3d[None],
+            cfg.RCNN.POOL_EXTRA_WIDTH, cfg.RCNN.NUM_POINTS)
+        pooled = pooled[0]  # (M, K, 3+C)
+        # canonical transform
+        pooled[..., 0:3] -= roi_boxes3d[:, None, 0:3]
+        pooled[..., 0:3] = rotate_points_along_y(
+            pooled[..., 0:3], roi_boxes3d[:, None, 6])
+
+        sample = {"sample_id": sample_id,
+                  "pts_input": pooled.astype(np.float32),
+                  "roi_boxes3d": roi_boxes3d.astype(np.float32),
+                  "roi_scores": roi_scores,
+                  "roi_size": roi_boxes3d[:, 3:6].astype(np.float32)}
+        if self.mode != "TEST":
+            gt_boxes3d = _to_boxes(
+                self.filtrate_objects(self.get_label_objects(sample_id)))
+            if len(gt_boxes3d) and len(roi_boxes3d):
+                gt_iou = boxes_iou3d_numpy(roi_boxes3d, gt_boxes3d).max(axis=1)
+            else:
+                gt_iou = np.zeros(len(roi_boxes3d), np.float32)
+            sample["gt_boxes3d"] = self._pad_gt(gt_boxes3d)
+            sample["gt_iou"] = gt_iou.astype(np.float32)
+        return sample
+
     def __len__(self):
         return len(self.sample_id_list)
 

@@ -61,7 +61,8 @@ def _project_box2d(calib, box):
 def create_synthetic_kitti(root: str, n_frames: int = 8, cars_per_frame=(2, 5),
                            n_bg_points: int = 14000, pts_per_car: int = 700,
                            seed: int = 0, splits=("train", "val"),
-                           image_files: bool = False) -> str:
+                           image_files: bool = False,
+                           car_dims_mean=(1.52, 1.63, 3.88)) -> str:
     """Build <root>/KITTI/object/training/... + ImageSets. Returns root."""
     rng = np.random.default_rng(seed)
     obj_dir = os.path.join(root, "KITTI", "object", "training")
@@ -99,9 +100,9 @@ def create_synthetic_kitti(root: str, n_frames: int = 8, cars_per_frame=(2, 5),
                 x = rng.uniform(-15, 15)
                 z = rng.uniform(6, 65)
                 ry = rng.uniform(-np.pi, np.pi)
-                h = rng.normal(1.52, 0.05)
-                w = rng.normal(1.63, 0.05)
-                l = rng.normal(3.88, 0.2)
+                h = rng.normal(car_dims_mean[0], 0.05)
+                w = rng.normal(car_dims_mean[1], 0.05)
+                l = rng.normal(car_dims_mean[2], 0.2)
                 box = np.array([x, 1.65, z, h, w, l, ry], np.float32)
                 if all(np.hypot(b[0] - x, b[2] - z) > 4.0 for b in boxes):
                     boxes.append(box)

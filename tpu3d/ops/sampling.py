@@ -31,9 +31,12 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     for the whole pick loop); the lax.fori_loop path is the portable fallback
     and the test oracle's jax twin.
     """
+    import os
+
     B, N, _ = xyz.shape
     if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 256
-            and npoint >= 1):
+            and npoint >= 1
+            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
         return _fps_pallas(xyz, npoint)
     return _fps_xla(xyz, npoint)
 
