@@ -18,8 +18,30 @@ import numpy as np
 
 REFERENCE_SCENES_PER_SEC = 10.0
 
+import os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — first compile of the full model is
+    minutes through this environment's TPU tunnel; subsequent processes reuse
+    the cached executables."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+
 
 def main():
+    _enable_compilation_cache()
     import jax
 
     from tpu3d.config import fresh_cfg

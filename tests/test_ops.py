@@ -305,3 +305,27 @@ def test_fps_pallas_interpret_matches_xla(rng):
     ref = np.asarray(sampling._fps_xla(xyz, 64))
     got = np.asarray(sampling._fps_pallas(xyz, 64, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_rotated_iou_native_matches_python_oracle(rng):
+    """The C host kernel must agree with the independent S-H python oracle."""
+    import math as _math
+
+    from tpu3d.runtime.native import get_rotated_iou
+
+    assert get_rotated_iou()[1] is not None, "native rotated_iou failed to build"
+    a = np.stack([rng.uniform(-5, 5, 16), rng.uniform(-5, 5, 16),
+                  rng.uniform(1, 5, 16), rng.uniform(1, 3, 16),
+                  rng.uniform(-_math.pi, _math.pi, 16)], axis=1)
+    b = np.stack([rng.uniform(-5, 5, 12), rng.uniform(-5, 5, 12),
+                  rng.uniform(1, 5, 12), rng.uniform(1, 3, 12),
+                  rng.uniform(-_math.pi, _math.pi, 12)], axis=1)
+    for crit in (-2, -1, 0, 1):
+        native = ops.rotated_iou_bev_numpy(a, b, criterion=crit, backend="auto")
+        oracle = ops.rotated_iou_bev_numpy(a, b, criterion=crit,
+                                           backend="python")
+        np.testing.assert_allclose(native, oracle, atol=1e-9,
+                                   err_msg=f"criterion {crit}")
+    # identical boxes -> IoU exactly 1 in the C kernel too
+    same = ops.rotated_iou_bev_numpy(a[:3], a[:3].copy(), criterion=-1)
+    np.testing.assert_allclose(np.diag(same), 1.0, atol=1e-9)

@@ -249,10 +249,27 @@ def rotated_intersection_numpy(box_a5, box_b5) -> float:
 
 
 def rotated_iou_bev_numpy(boxes_a5: np.ndarray, boxes_b5: np.ndarray,
-                          criterion: int = -1) -> np.ndarray:
-    """(N, 5) × (M, 5) -> (N, M) rotated BEV IoU/overlap on host."""
-    boxes_a5 = np.asarray(boxes_a5, dtype=np.float64)
-    boxes_b5 = np.asarray(boxes_b5, dtype=np.float64)
+                          criterion: int = -1,
+                          backend: str = "auto") -> np.ndarray:
+    """(N, 5) × (M, 5) -> (N, M) rotated BEV IoU/overlap on host.
+
+    backend "auto" uses the native C kernel (tpu3d/runtime/rotated_iou.c) when
+    it builds; "python" forces the Sutherland-Hodgman oracle below (a genuinely
+    independent algorithm, used as the test oracle).
+    """
+    boxes_a5 = np.ascontiguousarray(boxes_a5, dtype=np.float64)
+    boxes_b5 = np.ascontiguousarray(boxes_b5, dtype=np.float64)
+    if backend == "auto":
+        from ..runtime.native import get_rotated_iou
+
+        ffi, lib = get_rotated_iou()
+        if lib is not None:
+            out = np.zeros((len(boxes_a5), len(boxes_b5)), dtype=np.float64)
+            lib.rotated_overlap_bev(
+                ffi.cast("double *", boxes_a5.ctypes.data), len(boxes_a5),
+                ffi.cast("double *", boxes_b5.ctypes.data), len(boxes_b5),
+                int(criterion), ffi.cast("double *", out.ctypes.data))
+            return out
     out = np.zeros((len(boxes_a5), len(boxes_b5)))
     for i in range(len(boxes_a5)):
         for j in range(len(boxes_b5)):

@@ -38,41 +38,51 @@ void fused_statistics(
     double *pr);
 """
 
+_IOU_CDEF = """
+void rotated_overlap_bev(const double *boxes_a, long n, const double *boxes_b,
+                         long m, int criterion, double *out);
+"""
+
 _lock = threading.Lock()
-_lib = None
-_ffi = None
-_tried = False
+_libs: dict = {}
+_tried: set = set()
 
 
-def _build_and_load():
-    global _lib, _ffi
+def _build_and_load(src_name: str, cdef: str):
     import cffi
 
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "ap_matcher.c")
-    so = os.path.join(here, "_ap_matcher.so")
+    src = os.path.join(here, src_name + ".c")
+    so = os.path.join(here, f"_{src_name}.so")
     if (not os.path.exists(so)
             or os.path.getmtime(so) < os.path.getmtime(src)):
         cc = os.environ.get("CC", "gcc")
         cmd = [cc, "-O3", "-fPIC", "-shared", "-o", so, src, "-lm"]
         subprocess.run(cmd, check=True, capture_output=True)
     ffi = cffi.FFI()
-    ffi.cdef(_CDEF)
-    _ffi = ffi
-    _lib = ffi.dlopen(so)
+    ffi.cdef(cdef)
+    return ffi, ffi.dlopen(so)
+
+
+def _get(src_name: str, cdef: str):
+    with _lock:
+        if src_name not in _tried:
+            _tried.add(src_name)
+            try:
+                _libs[src_name] = _build_and_load(src_name, cdef)
+            except Exception:
+                _libs[src_name] = (None, None)
+    return _libs.get(src_name, (None, None))
 
 
 def get_ap_matcher():
     """Return (ffi, lib) or (None, None) when the native path is unavailable."""
-    global _tried
-    with _lock:
-        if not _tried:
-            _tried = True
-            try:
-                _build_and_load()
-            except Exception:
-                pass
-    return _ffi, _lib
+    return _get("ap_matcher", _CDEF)
+
+
+def get_rotated_iou():
+    """Native host rotated-IoU kernel; (ffi, lib) or (None, None)."""
+    return _get("rotated_iou", _IOU_CDEF)
 
 
 def native_available() -> bool:

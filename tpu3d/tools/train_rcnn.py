@@ -58,6 +58,9 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=19260817)
     parser.add_argument("--synthetic", action="store_true",
                         help="generate and train on a synthetic KITTI dataset")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax profiler trace of steps 10-15 into "
+                             "<output_dir>/profile (view with xprof/tensorboard)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=
                         argparse.REMAINDER, help="set extra config keys")
     return parser.parse_args(argv)
@@ -164,7 +167,14 @@ def main(argv=None):
                 k: v for k, v in batch.items()
                 if k in ("pts_input", "gt_boxes3d", "rpn_cls_label",
                          "rpn_reg_label")})
+            gstep0 = int(state.step)
+            if args.profile and gstep0 == 10:
+                jax.profiler.start_trace(os.path.join(root, "profile"))
             state, metrics = train_step(state, batch, step_rng, bn_m)
+            if args.profile and gstep0 == 15:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s" %
+                            os.path.join(root, "profile"))
             if it % 10 == 0:
                 loss = float(metrics["loss"])
                 logger.info(f"epoch {epoch} it {it}/{steps_per_epoch} "
