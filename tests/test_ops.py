@@ -191,13 +191,24 @@ def test_ball_query_matches_numpy(rng):
     pts = rng.normal(scale=2.0, size=(2, 128, 3)).astype(np.float32)
     centers = pts[:, :32]
     ref = ops.ball_query_numpy(centers, pts, 1.0, 8)
-    got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(pts), 1.0, 8))
+    got = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(pts), 1.0,
+                                    8, method="first"))
     np.testing.assert_array_equal(got, ref)
     # chunked variant identical
     got_c = np.asarray(
-        ops.ball_query(jnp.asarray(centers), jnp.asarray(pts), 1.0, 8, query_chunk=8)
+        ops.ball_query(jnp.asarray(centers), jnp.asarray(pts), 1.0, 8,
+                       query_chunk=8, method="first")
     )
     np.testing.assert_array_equal(got_c, ref)
+    # default nearest mode: every returned neighbor is in radius (when the row
+    # has any hit) and includes the query point itself (distance 0)
+    near = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(pts),
+                                     1.0, 8))
+    for b in range(2):
+        for m in range(32):
+            d = np.linalg.norm(pts[b][near[b, m]] - centers[b, m], axis=-1)
+            assert (d < 1.0).all()
+            assert near[b, m, 0] == m  # the center is its own nearest point
 
 
 def test_ball_query_empty_and_pad():

@@ -8,12 +8,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # box-frame corner template signs (bottom face 0-3, top face 4-7); see
-# tpu3d.kitti.boxes.corners_from_boxes3d for the convention.
-_SX = jnp.array([1, 1, -1, -1, 1, 1, -1, -1], dtype=jnp.float32)
-_SZ = jnp.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=jnp.float32)
-_SY = jnp.array([0, 0, 0, 0, -1, -1, -1, -1], dtype=jnp.float32)
+# tpu3d.kitti.boxes.corners_from_boxes3d for the convention. numpy so importing
+# the module never initializes a jax backend.
+_SX = np.array([1, 1, -1, -1, 1, 1, -1, -1], dtype=np.float32)
+_SZ = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.float32)
+_SY = np.array([0, 0, 0, 0, -1, -1, -1, -1], dtype=np.float32)
 
 
 def rotate_points_along_y(pc: jnp.ndarray, angle) -> jnp.ndarray:

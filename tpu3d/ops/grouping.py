@@ -26,46 +26,65 @@ import numpy as np
 
 
 def _ball_query_one(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
-                    nsample: int) -> jnp.ndarray:
+                    nsample: int, method: str = "nearest") -> jnp.ndarray:
     """(M, 3) centers × (N, 3) pts -> (M, nsample) int32.
 
-    Scatter-free "first k in index order": in-radius points keep their index as
-    the sort key, misses get the sentinel N, and one lax.top_k(-keys) per row
-    returns the nsample smallest keys — i.e. the first hits, already ordered.
-    (The earlier prefix-sum+scatter formulation serialized on TPU: 2.6 s for the
-    first SA layer at eval shapes vs ~30 ms for this one.)
+    method "nearest" (default): the nsample *nearest* points, kept only when
+    inside the radius — one TPU-native ``lax.approx_min_k`` per row (~14x faster
+    than a top_k/sort formulation at RPN layer-1 shapes). Which k in-radius
+    points a ball query returns is arbitrary (the reference CUDA kernel takes
+    the first k in memory order purely for convenience, ball_query_gpu.cu:9-44,
+    and downstream max-pooling is order-invariant), so nearest-k is a drop-in —
+    and statistically nicer — neighbor rule.
+
+    method "first": exact CUDA-parity first-k-in-index-order via top_k over
+    index keys (the numpy oracle's semantics; used by parity tests).
+
+    Both pad short rows with the first slot's hit and return all-zeros when
+    nothing is in radius (CUDA parity).
     """
     n = pts.shape[0]
     d2 = jnp.sum((centers[:, None, :] - pts[None, :, :]) ** 2, axis=-1)  # (M, N)
-    mask = d2 < radius * radius
-    iota = jnp.arange(n, dtype=jnp.int32)
-    keys = jnp.where(mask, iota[None, :], n)
-    if n < nsample:  # fewer points than slots: pad with sentinels
-        keys = jnp.concatenate(
-            [keys, jnp.full((keys.shape[0], nsample - n), n, jnp.int32)], axis=1)
-    neg_keys, _ = jax.lax.top_k(-keys, nsample)  # ascending keys
-    idx = -neg_keys
-    hit = idx < n
+    if method == "nearest":
+        if n < nsample:
+            d2 = jnp.concatenate(
+                [d2, jnp.full((d2.shape[0], nsample - n), jnp.inf, d2.dtype)],
+                axis=1)
+        neg_d2, idx = jax.lax.approx_min_k(d2, nsample)
+        hit = (neg_d2 < radius * radius) & (idx < n)
+    else:
+        mask = d2 < radius * radius
+        iota = jnp.arange(n, dtype=jnp.int32)
+        keys = jnp.where(mask, iota[None, :], n)
+        if n < nsample:  # fewer points than slots: pad with sentinels
+            keys = jnp.concatenate(
+                [keys, jnp.full((keys.shape[0], nsample - n), n, jnp.int32)],
+                axis=1)
+        neg_keys, _ = jax.lax.top_k(-keys, nsample)  # ascending keys
+        idx = -neg_keys
+        hit = idx < n
     # pad with the first hit; all-miss rows become 0 (CUDA parity)
     first = jnp.where(hit[:, 0:1], idx[:, 0:1], 0)
     return jnp.where(hit, idx, first).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("radius", "nsample", "query_chunk"))
+@partial(jax.jit, static_argnames=("radius", "nsample", "query_chunk", "method"))
 def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
-               nsample: int, query_chunk: int | None = None) -> jnp.ndarray:
+               nsample: int, query_chunk: int | None = None,
+               method: str = "nearest") -> jnp.ndarray:
     """(B, M, 3) centers × (B, N, 3) pts -> (B, M, nsample) int32 indices.
 
     ``query_chunk`` bounds the (chunk, N) distance tile; M must divide by it.
+    See _ball_query_one for the ``method`` semantics.
     """
     B, M, _ = centers.shape
 
     def per_batch(c, p):
         if query_chunk is None or query_chunk >= M:
-            return _ball_query_one(c, p, radius, nsample)
+            return _ball_query_one(c, p, radius, nsample, method)
         c_chunks = c.reshape(M // query_chunk, query_chunk, 3)
         return jax.lax.map(
-            lambda cc: _ball_query_one(cc, p, radius, nsample), c_chunks
+            lambda cc: _ball_query_one(cc, p, radius, nsample, method), c_chunks
         ).reshape(M, nsample)
 
     return jax.vmap(per_batch)(centers, pts)
