@@ -34,8 +34,13 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     import os
 
     B, N, _ = xyz.shape
-    if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 256
-            and npoint >= 1
+    # Pallas wins when per-scene work is large and the batch is small (the
+    # grid serializes over B): e.g. the RPN's (8, 16384). For many small
+    # point sets (the RCNN's (B*rois, 512)) the vmapped XLA loop — npoint
+    # iterations of fully-batched updates — is far faster than B*npoint
+    # sequential grid steps.
+    if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 4096
+            and B <= 64 and npoint >= 1
             and not os.environ.get("TPU3D_DISABLE_PALLAS")):
         return _fps_pallas(xyz, npoint)
     return _fps_xla(xyz, npoint)
