@@ -18,7 +18,6 @@ import pickle
 import numpy as np
 
 from ..kitti.boxes import (
-    corners_from_boxes3d,
     enlarge_box3d,
     points_in_boxes3d,
     rotate_points_along_y,
@@ -95,20 +94,19 @@ class KittiRCNNDataset(KittiDataset):
             self.sample_id_list = [int(sid) for sid in self.image_idx_list]
 
     # ----- accessors honoring aug-scene id mapping (ids >= 400000 map back
-    # via % 200000; reference: kitti_rcnn_dataset.py:120-139)
+    # via % 200000; offline-augmented labels live under aug_label;
+    # reference: kitti_rcnn_dataset.py:120-139)
     def get_label(self, idx):
-        if idx < 2000000:
-            return super().get_label(idx)
-        return super().get_label.__wrapped__  # pragma: no cover
+        from ..kitti import read_label
 
-    def get_label_objects(self, idx):
         if idx < 2000000:
             label_file = os.path.join(self.label_dir, "%06d.txt" % idx)
         else:
             label_file = os.path.join(self.aug_label_dir, "%06d.txt" % idx)
-        from ..kitti import read_label
-
         return read_label(label_file)
+
+    # alias kept for call sites that distinguish objects from anno dicts
+    get_label_objects = get_label
 
     def get_image_shape(self, idx):
         return super().get_image_shape(idx % 200000)

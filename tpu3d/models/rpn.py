@@ -8,7 +8,6 @@ are reproduced (rpn.py:61-66).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 import numpy as np
 
 from ..config.config import as_attrdict

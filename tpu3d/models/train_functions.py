@@ -10,12 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .losses import (
-    dice_loss,
-    get_reg_loss,
-    sigmoid_focal_loss,
-    smooth_l1,
-)
+from .losses import dice_loss, get_reg_loss, sigmoid_focal_loss
 
 
 def get_rpn_loss(cfg, rpn_cls, rpn_reg, rpn_cls_label, rpn_reg_label):

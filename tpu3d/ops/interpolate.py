@@ -18,11 +18,16 @@ import numpy as np
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
     """(B, M, 3) queries × (B, N, 3) sources -> ((B, M, 3) dists, (B, M, 3) idx).
 
-    Distances are Euclidean (not squared), matching interpolate_gpu.cu:9-70.
+    Distances are Euclidean (not squared), nearest first, matching
+    interpolate_gpu.cu:9-70. Uses the TPU-native ``lax.approx_min_k``
+    (PartialReduce) — ~10x faster than a full top_k sort at the FP-0 layer's
+    (16384, 4096) shape; exact on CPU, >=0.99-recall approximate on TPU (the
+    inverse-distance interpolation is insensitive to an occasional
+    3rd-nearest swap).
     """
     d2 = jnp.sum((unknown[:, :, None, :] - known[:, None, :, :]) ** 2, axis=-1)
-    neg_d2, idx = jax.lax.top_k(-d2, 3)  # (B, M, 3)
-    return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx.astype(jnp.int32)
+    min_d2, idx = jax.lax.approx_min_k(d2, 3, recall_target=0.99)
+    return jnp.sqrt(jnp.maximum(min_d2, 0.0)), idx.astype(jnp.int32)
 
 
 @jax.jit
