@@ -92,6 +92,16 @@ def main(argv=None):
     if _os.environ.get("TPU3D_PLATFORM"):
         _jax.config.update("jax_platforms",
                            _os.environ["TPU3D_PLATFORM"])
+    # persistent XLA compilation cache (first full-model compile is minutes)
+    try:
+        _cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache")
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     args = parse_args(argv)
     if args.cfg_file:
         cfg_from_file(args.cfg_file)
