@@ -34,13 +34,13 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     import os
 
     B, N, _ = xyz.shape
-    # Pallas wins when per-scene work is large and the batch is small (the
-    # grid serializes over B): e.g. the RPN's (8, 16384). For many small
-    # point sets (the RCNN's (B*rois, 512)) the vmapped XLA loop — npoint
-    # iterations of fully-batched updates — is far faster than B*npoint
-    # sequential grid steps.
-    if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 4096
-            and B <= 64 and npoint >= 1
+    # batch-in-kernel Pallas FPS: the full (B, N) running-min state + (B, N)
+    # coordinates live in VMEM for the whole pick loop (one grid cell, every
+    # iteration fully batched on the VPU). Budget check keeps ~4·(B, N) f32
+    # buffers comfortably under VMEM.
+    vmem_ok = B * N * 4 * 6 < 8 * 1024 * 1024
+    if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 256
+            and npoint >= 1 and vmem_ok
             and not os.environ.get("TPU3D_DISABLE_PALLAS")):
         return _fps_pallas(xyz, npoint)
     return _fps_xla(xyz, npoint)
@@ -69,62 +69,57 @@ def _fps_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 
 def _fps_pallas(xyz: jnp.ndarray, npoint: int,
                 interpret: bool = False) -> jnp.ndarray:
-    """Pallas FPS: the whole O(m·N) pick loop runs on-core — per pick, one
-    fused VPU pass computes squared distances to the last pick, folds the
-    running min (kept in VMEM scratch for the whole loop), and a masked-min
-    reduction selects the next index. This is the CUDA kernel's shared-memory
-    reduction (sampling_gpu.cu:94-180) mapped to VMEM; the XLA fallback pays
-    HBM round-trips for the (B, N) distance state every iteration.
+    """Batch-in-kernel Pallas FPS: a single grid cell holds the whole batch's
+    (B, N) coordinates and running-min distances in VMEM; every pick iteration
+    is one fully-batched VPU pass (distance update + per-row masked argmax +
+    masked coordinate extraction), so neither the batch nor the pick loop ever
+    touches HBM. This is the CUDA kernel's shared-memory reduction
+    (sampling_gpu.cu:94-180) lifted to the whole batch; the XLA fallback pays
+    HBM round-trips + per-iteration gather overhead instead.
+
+    Mosaic TC kernels have no dynamic scalar gathers/scatters, so the last
+    picks' coordinates come from masked row reductions and output slots are
+    written with masked column updates.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, _ = xyz.shape
-    rows = N // 128
-    m_rows = -(-npoint // 128)
-    xyz_t = jnp.transpose(xyz, (0, 2, 1)).reshape(B, 3, rows, 128)
+    xyz_t = jnp.transpose(xyz, (2, 0, 1))  # (3, B, N)
 
     def kernel(xyz_ref, out_ref, dist_ref):
-        x = xyz_ref[0, 0]  # (rows, 128)
-        y = xyz_ref[0, 1]
-        z = xyz_ref[0, 2]
-        dist_ref[...] = jnp.full((rows, 128), jnp.inf, jnp.float32)
-        out_ref[...] = jnp.zeros((1, m_rows, 128), jnp.int32)
+        x = xyz_ref[0]  # (B, N)
+        y = xyz_ref[1]
+        z = xyz_ref[2]
+        dist_ref[...] = jnp.full((B, N), jnp.inf, jnp.float32)
+        out_ref[...] = jnp.zeros((B, npoint), jnp.int32)
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-        lin_ids = row_ids * 128 + col_ids
-        out_lin = (jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 0) * 128
-                   + jax.lax.broadcasted_iota(jnp.int32, (m_rows, 128), 1))
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+        out_cols = jax.lax.broadcasted_iota(jnp.int32, (B, npoint), 1)
 
-        # Mosaic has no dynamic scalar gathers/scatters in TC kernels, so the
-        # last pick's coords come from masked reductions and the output slot is
-        # written with a masked full-buffer update.
         def body(j, last_idx):
-            sel = lin_ids == last_idx
-            lx = jnp.sum(jnp.where(sel, x, 0.0))
-            ly = jnp.sum(jnp.where(sel, y, 0.0))
-            lz = jnp.sum(jnp.where(sel, z, 0.0))
+            sel = col_ids == last_idx[:, None]  # (B, N)
+            lx = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+            ly = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+            lz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
             d2 = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
             mind = jnp.minimum(dist_ref[...], d2)
             dist_ref[...] = mind
-            best = jnp.max(mind)
-            nxt = jnp.min(jnp.where(mind == best, lin_ids, rows * 128))
-            out_ref[0] = jnp.where(out_lin == j, nxt, out_ref[0])
+            best = jnp.max(mind, axis=1, keepdims=True)  # (B, 1)
+            nxt = jnp.min(jnp.where(mind == best, col_ids, N), axis=1)  # (B,)
+            out_ref[...] = jnp.where(out_cols == j, nxt[:, None], out_ref[...])
             return nxt
 
-        jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
+        jax.lax.fori_loop(1, npoint, body, jnp.zeros((B,), jnp.int32))
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, rows, 128), lambda b: (b, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, m_rows, 128), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, m_rows, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
         interpret=interpret,
     )(xyz_t)
-    return out.reshape(B, m_rows * 128)[:, :npoint]
 
 
 @jax.jit
