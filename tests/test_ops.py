@@ -340,3 +340,23 @@ def test_rotated_iou_native_matches_python_oracle(rng):
     # identical boxes -> IoU exactly 1 in the C kernel too
     same = ops.rotated_iou_bev_numpy(a[:3], a[:3].copy(), criterion=-1)
     np.testing.assert_allclose(np.diag(same), 1.0, atol=1e-9)
+
+
+def test_group_points_onehot_path(rng):
+    """The MXU one-hot gather path must equal the exact gather up to bf16
+    rounding of the feature values."""
+    from tpu3d.ops.grouping import _group_points_onehot
+
+    feats = rng.normal(size=(2, 64, 32)).astype(np.float32)
+    idx = rng.integers(0, 64, size=(2, 8, 4)).astype(np.int32)
+    exact = np.asarray(ops.group_points(jnp.asarray(feats), jnp.asarray(idx)))
+    fast = np.asarray(_group_points_onehot(jnp.asarray(feats),
+                                           jnp.asarray(idx)))
+    np.testing.assert_allclose(fast, exact, rtol=1e-2, atol=1e-2)
+    # one-hot selection of bf16-rounded values is exact vs bf16 gather
+    bf16_exact = np.asarray(jnp.asarray(feats, jnp.bfloat16).astype(
+        jnp.float32))
+    flat = idx.reshape(2, 32)
+    ref = np.stack([bf16_exact[b][flat[b]] for b in range(2)]).reshape(
+        2, 8, 4, 32)
+    np.testing.assert_array_equal(fast, ref.astype(np.float32))

@@ -94,13 +94,50 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
 def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(B, N, C) features gathered by (B, M, nsample) -> (B, M, nsample, C).
 
-    Replaces group_points_gpu.cu (+ its hand-written grad — jnp.take_along_axis
-    is differentiable).
+    Replaces group_points_gpu.cu (+ its hand-written grad — both paths are
+    differentiable). On TPU with a small source table the gather is routed
+    through the MXU as a chunked one-hot bf16 matmul (~3x faster than the
+    native gather at the RCNN's (800, 8192-of-512, 128) shape); wide tables
+    (the RPN's 16384 points) keep the plain gather.
     """
     B, M, S = idx.shape
+    N, C = features.shape[1], features.shape[-1]
+    if (jax.default_backend() == "tpu" and N <= 2048 and C >= 16
+            and (M * S) % 8 == 0):
+        return _group_points_onehot(features, idx)
     flat = idx.reshape(B, M * S)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(B, M, S, features.shape[-1])
+
+
+def _group_points_onehot(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather-as-matmul: one-hot rows (bf16) x features (bf16) on the MXU,
+    chunked along the gathered axis to bound the one-hot buffer. Features are
+    rounded to bf16 — acceptable for network activations (the standard TPU
+    training/inference precision); coordinate gathers stay on the exact path
+    because C < 16 there."""
+    B, M, S = idx.shape
+    N, C = features.shape[1], features.shape[-1]
+    flat = idx.reshape(B, M * S)
+    fb = features.astype(jnp.bfloat16)
+    total = M * S
+    # ~32MB one-hot chunks
+    chunk = max(1, min(total, (16 * 1024 * 1024) // max(N * 2, 1)))
+    while total % chunk != 0:
+        chunk -= 1
+
+    def do_chunk(ic):
+        oh = jax.nn.one_hot(ic, N, dtype=jnp.bfloat16)  # (B, chunk, N)
+        return jnp.einsum("bcs,bsf->bcf", oh, fb,
+                          preferred_element_type=jnp.bfloat16)
+
+    if chunk == total:
+        out = do_chunk(flat)
+    else:
+        parts = flat.reshape(B, total // chunk, chunk).transpose(1, 0, 2)
+        out = jax.lax.map(do_chunk, parts).transpose(1, 0, 2, 3).reshape(
+            B, total, C)
+    return out.reshape(B, M, S, C).astype(features.dtype)
 
 
 def ball_query_numpy(centers: np.ndarray, pts: np.ndarray, radius: float,
