@@ -19,12 +19,9 @@ from ..ops.nms import nms_streaming_sorted
 from .bbox_codec import decode_bbox_target
 
 
-def _take_top(valid, order_rank, k, n):
-    """First-k selection by rank: returns ((n,) -> (k,) gather idx, (k,) mask).
-
-    ``order_rank`` maps sorted position -> original index; ``valid`` is in sorted
-    order. Selects the first k sorted positions that are valid.
-    """
+def _take_top(valid, k, n):
+    """First-k selection by rank over sorted-order candidates: returns
+    ((k,) gather positions into the sorted arrays, (k,) validity mask)."""
     # rank among valid, in sorted order
     r = jnp.cumsum(valid.astype(jnp.int32)) - 1
     pos = jnp.where(valid & (r < k), r, k)
@@ -37,7 +34,7 @@ def _take_top(valid, order_rank, k, n):
 def _band_nms(boxes7, scores, cand_mask, pre_k, post_k, nms_thresh, rotated):
     """Top-pre_k candidates (already score-sorted) -> NMS -> top post_k."""
     n = boxes7.shape[0]
-    sel_idx, sel_mask = _take_top(cand_mask, None, pre_k, n)
+    sel_idx, sel_mask = _take_top(cand_mask, pre_k, n)
     cand_boxes = boxes7[sel_idx]
     cand_scores = scores[sel_idx]
     # BEV5 [xc, zc, l, w, ry]

@@ -27,9 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_MAXV = 8
-
-
 def _box_to_bev_corners(boxes: jnp.ndarray) -> jnp.ndarray:
     """(..., 5) [xc, zc, l, w, ry] -> (..., 4, 2) corners, consistent clockwise
     order (the bottom-face order of tpu3d.kitti.boxes.corners_from_boxes3d)."""
@@ -54,19 +51,6 @@ def _cross2(o, a, b):
     """cross(a - o, b - o), last-dim (.., 2) points."""
     return ((a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1])
             - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0]))
-
-
-def _points_in_quad(pts, quad):
-    """(.., P, 2) points inside (.., 4, 2) convex quad (inclusive).
-
-    Orientation-agnostic: inside iff the four edge cross products share a sign.
-    """
-    p1 = quad[..., None, :, :]          # (.., 1, 4, 2)
-    p2 = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
-    v = pts[..., :, None, :]            # (.., P, 1, 2)
-    s = ((p2[..., 0] - p1[..., 0]) * (v[..., 1] - p1[..., 1])
-         - (p2[..., 1] - p1[..., 1]) * (v[..., 0] - p1[..., 0]))  # (.., P, 4)
-    return jnp.all(s <= 0, axis=-1) | jnp.all(s >= 0, axis=-1)
 
 
 def _clipped_edge_integral(cx, cy, eps: float = 0.0):
