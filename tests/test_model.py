@@ -227,3 +227,76 @@ def test_eval_forward(rng):
     assert out["rois"].shape == (b, m, 7)
     assert out["rcnn_cls"].shape == (b * m, 1)
     assert np.isfinite(np.asarray(out["rcnn_reg"])).all()
+
+
+def test_rcnn_canonical_decode_roundtrip():
+    """The full RCNN target chain must be self-consistent: proposal_target's
+    canonical gt encoding (proposal_target.py:269-275) -> the loss's bin
+    targets (losses.py get_reg_loss rules) -> eval's decode_bbox_target with a
+    7-col ROI must reproduce the world-frame gt box (heading mod pi: the
+    ry-fine opposite flip is direction-ambiguous by design)."""
+    from tpu3d.ops.box_geometry import rotate_points_along_y
+    from tpu3d.ops.rotated_iou import boxes_iou3d
+
+    rng = np.random.default_rng(7)
+    n = 64
+    gt = np.zeros((n, 7), np.float32)
+    gt[:, 0] = rng.uniform(-30, 30, n)
+    gt[:, 1] = rng.uniform(0.5, 2.0, n)
+    gt[:, 2] = rng.uniform(5, 60, n)
+    gt[:, 3] = rng.uniform(1.4, 1.8, n)
+    gt[:, 4] = rng.uniform(1.5, 1.8, n)
+    gt[:, 5] = rng.uniform(3.5, 4.5, n)
+    gt[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    roi = gt.copy()
+    roi[:, 0:3] += rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    roi[:, 3:6] *= rng.uniform(0.95, 1.05, (n, 3)).astype(np.float32)
+    roi[:, 6] += rng.uniform(-0.15, 0.15, n).astype(np.float32)
+
+    roi_j, gt_j = jnp.asarray(roi), jnp.asarray(gt)
+    roi_ry = roi_j[:, 6] % (2 * np.pi)
+    gt_ct = gt_j.at[:, 0:3].add(-roi_j[:, 0:3]).at[:, 6].add(-roi_ry)
+    gt_ct = np.asarray(rotate_points_along_y(gt_ct, roi_ry))
+
+    loc_scope, loc_bin, head_bin = 1.5, 0.5, 9
+    per_loc = int(loc_scope / loc_bin) * 2
+    anchor = np.array([1.526, 1.629, 3.883], np.float32)
+    pred = np.full((n, reg_channels(loc_scope, loc_bin, head_bin, True)),
+                   -20.0, np.float32)
+    x_shift = np.clip(gt_ct[:, 0] + loc_scope, 0, loc_scope * 2 - 1e-3)
+    z_shift = np.clip(gt_ct[:, 2] + loc_scope, 0, loc_scope * 2 - 1e-3)
+    x_bin = np.floor(x_shift / loc_bin).astype(int)
+    z_bin = np.floor(z_shift / loc_bin).astype(int)
+    pred[np.arange(n), x_bin] = 20.0
+    pred[np.arange(n), per_loc + z_bin] = 20.0
+    pred[:, per_loc * 2: per_loc * 4] = 0.0
+    pred[np.arange(n), per_loc * 2 + x_bin] = (
+        x_shift - (x_bin * loc_bin + loc_bin / 2)) / loc_bin
+    pred[np.arange(n), per_loc * 3 + z_bin] = (
+        z_shift - (z_bin * loc_bin + loc_bin / 2)) / loc_bin
+    start = per_loc * 4
+    pred[:, start] = gt_ct[:, 1]
+    start += 1
+    angle_per = (np.pi / 2) / head_bin
+    ry_l = gt_ct[:, 6] % (2 * np.pi)
+    opposite = (ry_l > np.pi * 0.5) & (ry_l < np.pi * 1.5)
+    ry_l = np.where(opposite, (ry_l + np.pi) % (2 * np.pi), ry_l)
+    shift_angle = np.clip((ry_l + np.pi * 0.5) % (2 * np.pi) - np.pi * 0.25,
+                          1e-3, np.pi * 0.5 - 1e-3)
+    ry_bin = np.floor(shift_angle / angle_per).astype(int)
+    pred[np.arange(n), start + ry_bin] = 20.0
+    pred[:, start + head_bin: start + head_bin * 2] = 0.0
+    pred[np.arange(n), start + head_bin + ry_bin] = (
+        shift_angle - (ry_bin * angle_per + angle_per / 2)) / (angle_per / 2)
+    start += head_bin * 2
+    pred[:, start: start + 3] = (gt_ct[:, 3:6] - anchor) / anchor
+
+    dec = np.asarray(decode_bbox_target(
+        roi_j, jnp.asarray(pred), loc_scope, loc_bin, head_bin,
+        jnp.asarray(anchor), get_xz_fine=True, get_ry_fine=True))
+    np.testing.assert_allclose(dec[:, 0:3], gt[:, 0:3], atol=2e-2)
+    np.testing.assert_allclose(dec[:, 3:6], gt[:, 3:6], atol=1e-2)
+    dry = np.abs(((dec[:, 6] - gt[:, 6]) + np.pi / 2) % np.pi - np.pi / 2)
+    assert dry.max() < 2e-2
+    diag = np.diag(np.asarray(boxes_iou3d(jnp.asarray(dec), gt_j)))
+    assert diag.min() > 0.97
