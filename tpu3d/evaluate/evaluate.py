@@ -227,6 +227,12 @@ def evaluate(result_path, dataset_path=None, label_split_file=None,
 
 
 def main():
+    # TPU3D_PLATFORM=cpu forces the CPU backend (env JAX_PLATFORMS may be
+    # overridden by platform plugins; jax.config wins)
+    if os.environ.get("TPU3D_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["TPU3D_PLATFORM"])
     parser = argparse.ArgumentParser(description="KITTI rotated-IoU AP evaluator")
     parser.add_argument("--result_path", type=str, required=True,
                         help="predictions to be evaluated")
