@@ -257,6 +257,28 @@ def test_three_interpolate_weights():
     assert wts[0, 0, 0] > 0.999
 
 
+
+
+def test_three_interpolate_onehot_matches_gather(rng):
+    """The MXU one-hot formulation must match the exact gather within bf16
+    activation tolerance (it is the TPU dispatch of three_interpolate)."""
+    from tpu3d.ops.interpolate import _three_interpolate_onehot
+
+    B, N, M, C = 2, 96, 200, 32
+    feats = rng.normal(size=(B, N, C)).astype(np.float32)
+    idx = rng.integers(0, N, size=(B, M, 3)).astype(np.int32)
+    w = rng.random((B, M, 3)).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    exact = np.asarray(ops.three_interpolate(
+        jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w)))
+    fast = np.asarray(_three_interpolate_onehot(
+        jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w)))
+    # error budget = bf16 input rounding of the 3 gathered values (~0.4%
+    # relative each); the matmul accumulates in f32
+    err = np.abs(fast - exact)
+    assert err.max() < 0.05
+    assert (err / (np.abs(exact) + 1.0)).mean() < 0.005
+
 # ------------------------------------------------------------------- roipool
 
 def test_roipool_matches_numpy(rng):

@@ -129,7 +129,7 @@ def _group_points_onehot(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray
     def do_chunk(ic):
         oh = jax.nn.one_hot(ic, N, dtype=jnp.bfloat16)  # (B, chunk, N)
         return jnp.einsum("bcs,bsf->bcf", oh, fb,
-                          preferred_element_type=jnp.bfloat16)
+                          preferred_element_type=jnp.float32)
 
     if chunk == total:
         out = do_chunk(flat)

@@ -36,9 +36,11 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     B, N, _ = xyz.shape
     # batch-in-kernel Pallas FPS: the full (B, N) running-min state + (B, N)
     # coordinates live in VMEM for the whole pick loop (one grid cell, every
-    # iteration fully batched on the VPU). Budget check keeps ~4·(B, N) f32
-    # buffers comfortably under VMEM.
-    vmem_ok = B * N * 4 * 6 < 8 * 1024 * 1024
+    # iteration fully batched on the VPU). Budget check keeps ~6·(B, N) f32
+    # buffers under half of a v5e core's 128MB VMEM (the RCNN's (800, 512)
+    # TEST shape needs ~10MB; the XLA fallback costs 41 ms there vs ~3 ms
+    # in-kernel).
+    vmem_ok = B * N * 4 * 6 < 64 * 1024 * 1024
     if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 256
             and npoint >= 1 and vmem_ok
             and not os.environ.get("TPU3D_DISABLE_PALLAS")):
