@@ -82,7 +82,7 @@ def main():
     print(f"compile+first-run: {time.time() - t_c:.1f}s", file=sys.stderr,
           flush=True)
 
-    n_iters = 5
+    n_iters = 12
     t0 = time.time()
     for i in range(n_iters):
         s = float(infer(variables, pts))

@@ -11,7 +11,7 @@ Convention: features are (B, N, C); xyz is (B, N, 3).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -46,16 +46,23 @@ class BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", jnp.ones, feat_shape)
 
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
-            if not self.is_initializing():
-                ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean
-                ra_var.value = momentum * ra_var.value + (1 - momentum) * var
+            # eval: fold the normalization into one per-channel affine computed
+            # in f32 (C-sized vectors, cheap) and applied in the activation
+            # dtype — a single fused multiply-add with no tensor-wide converts
+            # (bf16 inference pipelines keep their traffic halved)
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            mul = (inv * scale).astype(x.dtype)
+            add = (bias - ra_mean.value * inv * scale).astype(x.dtype)
+            return x * mul + add
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+        if not self.is_initializing():
+            ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean
+            ra_var.value = momentum * ra_var.value + (1 - momentum) * var
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * scale + bias
+        return (((xf - mean) * inv) * scale + bias).astype(x.dtype)
 
 
 class SharedMLP(nn.Module):
@@ -65,6 +72,7 @@ class SharedMLP(nn.Module):
     channels: Sequence[int]
     bn: bool = True
     last_activation: bool = True
+    dtype: Any = None  # Dense compute dtype (bf16 inference); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.9):
@@ -72,6 +80,7 @@ class SharedMLP(nn.Module):
         for i, ch in enumerate(self.channels):
             x = nn.Dense(ch, use_bias=not self.bn,
                          kernel_init=nn.initializers.he_normal(),
+                         dtype=self.dtype,
                          name=f"dense_{i}")(x)
             if self.bn:
                 x = BatchNorm(name=f"bn_{i}")(
@@ -93,6 +102,7 @@ class PointnetSAModuleMSG(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     query_chunk: int | None = 512
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.9,
@@ -129,7 +139,8 @@ class PointnetSAModuleMSG(nn.Module):
                     grouped = (jnp.concatenate(
                         [grouped, features[:, None, :, :]], -1)
                         if self.use_xyz else features[:, None, :, :])
-            out = SharedMLP(mlp, bn=self.bn, name=f"mlp_{i}")(
+            out = SharedMLP(mlp, bn=self.bn, dtype=self.dtype,
+                            name=f"mlp_{i}")(
                 grouped, train=train, bn_momentum=bn_momentum)
             scale_features.append(jnp.max(out, axis=2))  # pool over nsample
 
@@ -146,6 +157,7 @@ class PointnetFPModule(nn.Module):
 
     mlp: Sequence[int]
     bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
@@ -162,7 +174,7 @@ class PointnetFPModule(nn.Module):
             new_features = jnp.concatenate([interpolated, unknown_feats], -1)
         else:
             new_features = interpolated
-        return SharedMLP(self.mlp, bn=self.bn, name="mlp")(
+        return SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype, name="mlp")(
             new_features, train=train, bn_momentum=bn_momentum)
 
 
@@ -178,6 +190,7 @@ class Pointnet2MSG(nn.Module):
     input_channels: int = 0
     use_xyz: bool = True
     bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pts_input, train: bool = False, bn_momentum=0.9):
@@ -190,7 +203,8 @@ class Pointnet2MSG(nn.Module):
             li_xyz, li_features = PointnetSAModuleMSG(
                 npoint=self.npoints[k], radii=self.radii[k],
                 nsamples=self.nsamples[k], mlps=self.sa_mlps[k],
-                use_xyz=self.use_xyz, bn=self.bn, name=f"sa_{k}")(
+                use_xyz=self.use_xyz, bn=self.bn, dtype=self.dtype,
+                name=f"sa_{k}")(
                     l_xyz[k], l_features[k], train=train,
                     bn_momentum=bn_momentum)
             l_xyz.append(li_xyz)
@@ -199,8 +213,9 @@ class Pointnet2MSG(nn.Module):
         n_fp = len(self.fp_mlps)
         for i in range(n_fp - 1, -1, -1):
             l_features[i] = PointnetFPModule(
-                mlp=self.fp_mlps[i], bn=self.bn, name=f"fp_{i}")(
+                mlp=self.fp_mlps[i], bn=self.bn, dtype=self.dtype,
+                name=f"fp_{i}")(
                     l_xyz[i], l_xyz[i + 1], l_features[i], l_features[i + 1],
                     train=train, bn_momentum=bn_momentum)
 
-        return l_xyz[0], l_features[0]
+        return l_xyz[0], l_features[0].astype(jnp.float32)

@@ -27,7 +27,11 @@ class RCNNNet(nn.Module):
         3 + use_intensity + use_mask + use_depth channels are the "xyz block"
         (reference: rcnn_net.py:22-24, 167-179).
         Returns dict(rcnn_cls (M, 1), rcnn_reg (M, C))."""
-        c = as_attrdict(self.cfg).RCNN
+        full = as_attrdict(self.cfg)
+        c = full.RCNN
+        dt = (jnp.bfloat16
+              if (not train and bool(full.get("BF16_INFERENCE", False)))
+              else None)
         xyz = pts_input[..., 0:3]
 
         if c.USE_RPN_FEATURES:
@@ -36,11 +40,11 @@ class RCNNNet(nn.Module):
             xyz_block = pts_input[..., 0:rcnn_input_channel]
             rpn_feats = pts_input[..., rcnn_input_channel:]
             xyz_feature = SharedMLP(tuple(c.XYZ_UP_LAYER), bn=c.USE_BN,
-                                    name="xyz_up")(
+                                    dtype=dt, name="xyz_up")(
                 xyz_block, train=train, bn_momentum=bn_momentum)
             merged = jnp.concatenate([xyz_feature, rpn_feats], axis=-1)
             features = SharedMLP((c.XYZ_UP_LAYER[-1],), bn=c.USE_BN,
-                                 name="merge_down")(
+                                 dtype=dt, name="merge_down")(
                 merged, train=train, bn_momentum=bn_momentum)
         else:
             features = pts_input[..., 3:]
@@ -52,7 +56,7 @@ class RCNNNet(nn.Module):
                 npoint=npoint, radii=(float(c.SA_CONFIG.RADIUS[k]),),
                 nsamples=(int(c.SA_CONFIG.NSAMPLE[k]),),
                 mlps=(tuple(c.SA_CONFIG.MLPS[k]),),
-                use_xyz=True, bn=c.USE_BN, query_chunk=None,
+                use_xyz=True, bn=c.USE_BN, query_chunk=None, dtype=dt,
                 name=f"sa_{k}")(
                     l_xyz, l_features, train=train, bn_momentum=bn_momentum)
 
@@ -61,7 +65,7 @@ class RCNNNet(nn.Module):
         cls_channel = 1 if self.num_classes == 2 else self.num_classes
         rcnn_cls = HeadMLP(hidden=tuple(c.CLS_FC), out_channels=cls_channel,
                            use_bn=c.USE_BN, dp_ratio=c.DP_RATIO,
-                           name="cls_head")(feat, train=train,
+                           dtype=dt, name="cls_head")(feat, train=train,
                                             bn_momentum=bn_momentum)
         n_reg = reg_channels(c.LOC_SCOPE, c.LOC_BIN_SIZE, c.NUM_HEAD_BIN,
                              get_xz_fine=True, get_y_by_bin=c.LOC_Y_BY_BIN,
@@ -69,6 +73,6 @@ class RCNNNet(nn.Module):
                              loc_y_bin_size=c.LOC_Y_BIN_SIZE)
         rcnn_reg = HeadMLP(hidden=tuple(c.REG_FC), out_channels=n_reg,
                            use_bn=c.USE_BN, dp_ratio=c.DP_RATIO,
-                           out_kernel_std=0.001, name="reg_head")(
+                           out_kernel_std=0.001, dtype=dt, name="reg_head")(
                                feat, train=train, bn_momentum=bn_momentum)
         return {"rcnn_cls": rcnn_cls, "rcnn_reg": rcnn_reg}

@@ -7,7 +7,10 @@ are reproduced (rpn.py:61-66).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
+import jax.numpy as jnp
 import numpy as np
 
 from ..config.config import as_attrdict
@@ -25,12 +28,14 @@ class HeadMLP(nn.Module):
     dp_ratio: float = 0.5
     out_bias_init: float = 0.0
     out_kernel_std: float | None = None
+    dtype: Any = None  # Dense compute dtype (bf16 inference); output is f32
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.9):
         for i, ch in enumerate(self.hidden):
             x = nn.Dense(ch, use_bias=not self.use_bn,
                          kernel_init=nn.initializers.he_normal(),
+                         dtype=self.dtype,
                          name=f"dense_{i}")(x)
             if self.use_bn:
                 x = BatchNorm(name=f"bn_{i}")(
@@ -44,7 +49,8 @@ class HeadMLP(nn.Module):
                        else nn.initializers.he_normal())
         return nn.Dense(self.out_channels, kernel_init=kernel_init,
                         bias_init=nn.initializers.constant(self.out_bias_init),
-                        name="out")(x)
+                        dtype=self.dtype,
+                        name="out")(x).astype(jnp.float32)
 
 
 class RPN(nn.Module):
@@ -57,13 +63,17 @@ class RPN(nn.Module):
     def __call__(self, pts_input, train: bool = False, bn_momentum=0.9):
         c = as_attrdict(self.cfg)
         sa = c.RPN.SA_CONFIG
+        # bf16 Dense compute for inference only (MXU 2x; heads/features return
+        # f32 — box decode stays full precision). cfg.BF16_INFERENCE gates it.
+        dt = (jnp.bfloat16
+              if (not train and bool(c.get("BF16_INFERENCE", False))) else None)
         backbone_xyz, backbone_features = Pointnet2MSG(
             npoints=tuple(sa.NPOINTS),
             radii=tuple(tuple(r) for r in sa.RADIUS),
             nsamples=tuple(tuple(s) for s in sa.NSAMPLE),
             sa_mlps=tuple(tuple(tuple(m) for m in ms) for ms in sa.MLPS),
             fp_mlps=tuple(tuple(m) for m in c.RPN.FP_MLPS),
-            use_xyz=True, bn=c.RPN.USE_BN, name="backbone")(
+            use_xyz=True, bn=c.RPN.USE_BN, dtype=dt, name="backbone")(
                 pts_input, train=train, bn_momentum=bn_momentum)
 
         # focal init puts prior fg prob at 1% (reference: rpn.py:61-64)
@@ -71,14 +81,14 @@ class RPN(nn.Module):
                     if c.RPN.LOSS_CLS == "SigmoidFocalLoss" else 0.0)
         rpn_cls = HeadMLP(hidden=tuple(c.RPN.CLS_FC), out_channels=1,
                           use_bn=c.RPN.USE_BN, dp_ratio=c.RPN.DP_RATIO,
-                          out_bias_init=cls_bias, name="cls_head")(
+                          out_bias_init=cls_bias, dtype=dt, name="cls_head")(
                               backbone_features, train=train,
                               bn_momentum=bn_momentum)
         n_reg = reg_channels(c.RPN.LOC_SCOPE, c.RPN.LOC_BIN_SIZE,
                              c.RPN.NUM_HEAD_BIN, c.RPN.LOC_XZ_FINE)
         rpn_reg = HeadMLP(hidden=tuple(c.RPN.REG_FC), out_channels=n_reg,
                           use_bn=c.RPN.USE_BN, dp_ratio=c.RPN.DP_RATIO,
-                          out_kernel_std=0.001, name="reg_head")(
+                          out_kernel_std=0.001, dtype=dt, name="reg_head")(
                               backbone_features, train=train,
                               bn_momentum=bn_momentum)
         return {
