@@ -33,7 +33,8 @@ class KittiRCNNDataset(KittiDataset):
     def __init__(self, root_dir, npoints=16384, split="train", classes="Car",
                  mode="TRAIN", cfg=None, random_select=True, logger=None,
                  gt_database_dir=None, rcnn_eval_roi_dir=None,
-                 rcnn_eval_feature_dir=None, with_replace=False,
+                 rcnn_eval_feature_dir=None, rcnn_training_roi_dir=None,
+                 rcnn_training_feature_dir=None, with_replace=False,
                  npoints_faraway=4000, subsample=-1, shuffle_subsample=None,
                  seed=0):
         super().__init__(root_dir=root_dir, split=split, subsample=subsample,
@@ -68,6 +69,8 @@ class KittiRCNNDataset(KittiDataset):
                                         "rectified_data")
         self.rcnn_eval_roi_dir = rcnn_eval_roi_dir
         self.rcnn_eval_feature_dir = rcnn_eval_feature_dir
+        self.rcnn_training_roi_dir = rcnn_training_roi_dir
+        self.rcnn_training_feature_dir = rcnn_training_feature_dir
 
         assert mode in ("TRAIN", "EVAL", "TEST"), mode
         self.mode = mode
