@@ -1,0 +1,166 @@
+"""End-to-end offline-RCNN chain (reference rcnn_offline workflow):
+
+1. RPN eval with --save_rpn_feature --save_result dumps per-scene backbone
+   features (features/*.npy) and KITTI-format proposals (detections/data/*.txt)
+   (reference: eval_rcnn.py:128-132, 221-238).
+2. train_rcnn --train_mode rcnn_offline trains the RCNN head from those dumps
+   via get_rcnn_training_sample_batch (reference:
+   kitti_rcnn_dataset.py:897-1043, train_rcnn.py:167-172).
+3. eval_rcnn --eval_mode rcnn_offline refines the saved proposals
+   (reference: eval_rcnn.py:263-460, 888-895).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu3d.datasets import create_synthetic_kitti
+
+CFG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "configs", "smoke.yaml")
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("offline_synth")
+    create_synthetic_kitti(str(root), n_frames=6, image_files=True, seed=3)
+    return str(root)
+
+
+@pytest.mark.slow
+def test_offline_rcnn_chain(synth_root, tmp_path):
+    from tpu3d.tools import eval_rcnn, train_rcnn
+
+    # --- stage 1: RPN eval dumps features + proposals for the train split
+    rpn_dir = str(tmp_path / "rpn_eval")
+    eval_rcnn.main([
+        "--cfg_file", CFG, "--eval_mode", "rpn", "--data_root", synth_root,
+        "--output_dir", rpn_dir, "--batch_size", "2", "--workers", "2",
+        "--save_rpn_feature", "--save_result",
+        "--set", "TEST.SPLIT", "train",
+    ])
+    feature_dir = os.path.join(rpn_dir, "features")
+    roi_dir = os.path.join(rpn_dir, "detections", "data")
+    train_ids = [x for x in open(os.path.join(
+        synth_root, "KITTI", "ImageSets", "train.txt")).read().split() if x]
+    for sid in train_ids:
+        for suffix in ("", "_xyz", "_seg", "_intensity", "_rawscore"):
+            assert os.path.exists(
+                os.path.join(feature_dir, f"{sid}{suffix}.npy")), suffix
+        assert os.path.exists(os.path.join(roi_dir, f"{sid}.txt"))
+        assert os.path.exists(
+            os.path.join(rpn_dir, "seg_result", f"{sid}.npy"))
+    xyz = np.load(os.path.join(feature_dir, f"{train_ids[0]}_xyz.npy"))
+    feats = np.load(os.path.join(feature_dir, f"{train_ids[0]}.npy"))
+    assert xyz.shape == (1024, 3) and feats.shape == (1024, 128)
+
+    # --- stage 2: offline RCNN training from the dumps
+    train_dir = str(tmp_path / "rcnn_offline_train")
+    train_rcnn.main([
+        "--cfg_file", CFG, "--train_mode", "rcnn_offline",
+        "--data_root", synth_root, "--output_dir", train_dir,
+        "--batch_size", "2", "--epochs", "1", "--workers", "2",
+        "--rcnn_training_roi_dir", roi_dir,
+        "--rcnn_training_feature_dir", feature_dir,
+    ])
+    ckpts = [f for f in os.listdir(os.path.join(train_dir, "ckpt"))
+             if f.endswith(".msgpack")]
+    assert ckpts, "offline training saved no checkpoint"
+    ckpt = os.path.join(train_dir, "ckpt", sorted(ckpts)[-1])
+
+    # --- stage 3: offline RCNN eval consuming the same dumps
+    eval_dir = str(tmp_path / "rcnn_offline_eval")
+    ret = eval_rcnn.main([
+        "--cfg_file", CFG, "--eval_mode", "rcnn_offline",
+        "--data_root", synth_root, "--output_dir", eval_dir,
+        "--batch_size", "2", "--workers", "2", "--ckpt", ckpt,
+        "--save_result",
+        "--rcnn_eval_roi_dir", roi_dir,
+        "--rcnn_eval_feature_dir", feature_dir,
+        "--set", "TEST.SPLIT", "train",
+    ])
+    final_dir = os.path.join(eval_dir, "final_result", "data")
+    assert sorted(os.listdir(final_dir)) == sorted(
+        f"{sid}.txt" for sid in train_ids)
+    # refined dumps exist and carry as many boxes as the saved proposals
+    refine_dir = os.path.join(eval_dir, "refine_result", "data")
+    assert os.path.isdir(refine_dir)
+    assert "rcnn_cls_acc" in ret and "recall" in ret
+
+
+def test_rcnn_training_sample_batch_shapes(synth_root, tmp_path):
+    """get_rcnn_training_sample_batch is fixed-shape and label-consistent
+    without needing a real RPN run: synthesize feature dumps + roi files."""
+    from tpu3d.config import fresh_cfg
+    from tpu3d.datasets import KittiRCNNDataset
+    from tpu3d.kitti import read_label
+    from tpu3d.kitti.object3d import objs_to_boxes3d
+
+    c = fresh_cfg()
+    c.GT_AUG_ENABLED = False
+    c.RPN.USE_INTENSITY = False
+    c.RPN.NUM_POINTS = 1024
+    c.RPN.ENABLED = False
+    c.RCNN.ENABLED = True
+    c.RCNN.ROI_PER_IMAGE = 16
+    c.RCNN.NUM_POINTS = 64
+
+    feature_dir = tmp_path / "feat"
+    roi_dir = tmp_path / "rois"
+    feature_dir.mkdir()
+    roi_dir.mkdir()
+    rng = np.random.default_rng(0)
+    label_dir = os.path.join(synth_root, "KITTI", "object", "training",
+                             "label_2")
+    ids = sorted(f[:-4] for f in os.listdir(label_dir))
+    for sid in ids:
+        gt = objs_to_boxes3d(read_label(
+            os.path.join(label_dir, f"{sid}.txt")))
+        # points clustered at each gt center so pooled boxes are non-empty
+        centers = gt[rng.integers(0, len(gt), 1024), 0:3]
+        xyz = centers + rng.normal(0, 0.5, (1024, 3))
+        np.save(feature_dir / f"{sid}_xyz.npy", xyz.astype(np.float32))
+        np.save(feature_dir / f"{sid}.npy",
+                rng.normal(0, 1, (1024, 128)).astype(np.float32))
+        np.save(feature_dir / f"{sid}_intensity.npy",
+                np.zeros(1024, np.float32))
+        np.save(feature_dir / f"{sid}_seg.npy", np.ones(1024, np.float32))
+        np.save(feature_dir / f"{sid}_rawscore.npy",
+                np.ones(1024, np.float32))
+        # rois: jittered copies of gt (some fg) + far offsets (bg)
+        rois = np.concatenate([
+            gt + rng.normal(0, 0.05, gt.shape),
+            gt + np.array([8.0, 0, 8.0, 0, 0, 0, 0]),
+        ])
+        with open(roi_dir / f"{sid}.txt", "w") as f:
+            for b in rois:
+                print("Car -1 -1 0.0 0 0 50 50 "
+                      "%.4f %.4f %.4f %.4f %.4f %.4f %.4f 0.9"
+                      % (b[3], b[4], b[5], b[0], b[1], b[2], b[6]), file=f)
+
+    ds = KittiRCNNDataset(
+        root_dir=synth_root, npoints=1024, split="train", mode="TRAIN",
+        cfg=c, rcnn_training_roi_dir=str(roi_dir),
+        rcnn_training_feature_dir=str(feature_dir), seed=5)
+    s = ds[0]
+    r, k = c.RCNN.ROI_PER_IMAGE, c.RCNN.NUM_POINTS
+    ext = int(c.RCNN.USE_INTENSITY) + 1 + int(c.RCNN.USE_DEPTH)
+    assert s["pts_input"].shape == (r, k, 3 + ext + 128)
+    assert s["cls_label"].shape == (r,)
+    assert s["reg_valid_mask"].shape == (r,)
+    assert s["gt_boxes3d_ct"].shape == (r, 7)
+    assert s["roi_boxes3d"].shape == (r, 7)
+    # fg rois exist (jittered gt copies pass the fg threshold after noise aug)
+    assert (s["cls_label"] == 1).sum() > 0
+    # bg rois exist and are never reg-valid
+    assert ((s["cls_label"] == 0) & (s["reg_valid_mask"] == 1)).sum() == 0
+    # reg-valid rois are cls-fg or ignored, never bg
+    assert np.all(s["cls_label"][s["reg_valid_mask"] == 1] != 0)
+    # canonical gt of fg rois is near the origin (roi ≈ gt after jitter)
+    fg = s["reg_valid_mask"] == 1
+    if fg.any():
+        assert np.all(np.abs(s["gt_boxes3d_ct"][fg, 0:3]) < 3.0)
+    # deterministic per (seed, epoch, index)
+    s2 = ds[0]
+    np.testing.assert_array_equal(s["pts_input"], s2["pts_input"])

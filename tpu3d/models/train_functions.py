@@ -139,6 +139,15 @@ def model_loss(cfg, ret_dict, data):
         loss = loss + rpn_loss
         tb.update(tb_rpn)
     if cfg.RCNN.ENABLED:
+        if "cls_label" not in ret_dict:
+            # offline-RCNN mode: targets come from the loader, not from the
+            # on-device ProposalTargetLayer (reference: train_functions.py
+            # model_fn reads them from `data` when cfg.RCNN.ROI_SAMPLE_JIT off)
+            ret_dict = dict(ret_dict)
+            ret_dict["cls_label"] = data["cls_label"].reshape(-1)
+            ret_dict["reg_valid_mask"] = data["reg_valid_mask"].reshape(-1)
+            ret_dict["roi_boxes3d"] = data["roi_boxes3d"].reshape(-1, 7)
+            ret_dict["gt_of_rois"] = data["gt_boxes3d_ct"].reshape(-1, 7)
         rcnn_loss, tb_rcnn = get_rcnn_loss(cfg, ret_dict)
         loss = loss + rcnn_loss
         tb.update(tb_rcnn)

@@ -5,6 +5,7 @@ from .train_state import (
     TrainState,
     bn_momentum_at_epoch,
     create_train_state,
+    make_eval_loss_step,
     make_eval_step,
     make_lr_schedule,
     make_momentum_schedule,
@@ -14,7 +15,7 @@ from .train_state import (
 
 __all__ = [
     "data_sharding", "make_mesh", "replicate", "replicated", "shard_batch",
-    "TrainState", "bn_momentum_at_epoch", "create_train_state", "make_eval_step",
+    "TrainState", "bn_momentum_at_epoch", "create_train_state", "make_eval_loss_step", "make_eval_step",
     "make_lr_schedule", "make_momentum_schedule", "make_optimizer",
     "make_train_step",
 ]

@@ -14,9 +14,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+def make_mesh(devices=None, axis_name: str = "data",
+              batch_size: int | None = None) -> Mesh:
+    """Data-parallel mesh over the slice. When ``batch_size`` is given, use the
+    largest device prefix whose count divides it (XLA shards batches evenly;
+    an indivisible batch is a hard error, so degrade gracefully instead)."""
     if devices is None:
         devices = jax.devices()
+    devices = list(devices)
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.asarray(devices), (axis_name,))
 
 

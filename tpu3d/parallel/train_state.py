@@ -52,9 +52,16 @@ def make_lr_schedule(cfg, steps_per_epoch: int, total_epochs: int):
     train = cfg.TRAIN
     total_steps = max(1, steps_per_epoch * total_epochs)
     if train.OPTIMIZER == "adam_onecycle":
+        # optax's onecycle divides by the warmup/decay interval lengths
+        # int(ts·pct) and ts − int(ts·pct); at tiny step counts (smoke runs)
+        # either can round to zero and the whole schedule turns NaN
+        pct = float(train.PCT_START)
+        while (int(total_steps * pct) < 1
+               or total_steps - int(total_steps * pct) < 1):
+            total_steps += 1
         return optax.cosine_onecycle_schedule(
             transition_steps=total_steps, peak_value=train.LR,
-            pct_start=train.PCT_START, div_factor=train.DIV_FACTOR,
+            pct_start=pct, div_factor=train.DIV_FACTOR,
             final_div_factor=1e4)
     # step decay (+ optional warmup), reference: train_rcnn.py lr_lbmd/CosineWarmupLR
     boundaries = {e * steps_per_epoch: train.LR_DECAY
@@ -131,9 +138,15 @@ def bn_momentum_at_epoch(cfg, epoch: int) -> float:
 def make_train_step(cfg, model):
     """Returns train_step(state, batch, rng, bn_momentum) -> (state, metrics)."""
 
+    offline_rcnn = bool(cfg.RCNN.ENABLED and not cfg.RPN.ENABLED)
+
     def train_step(state, batch, rng, bn_momentum):
         d_rng, t_rng = jax.random.split(jax.random.fold_in(rng, state.step))
-        input_dict = {"pts_input": batch["pts_input"]}
+        pts = batch["pts_input"]
+        if offline_rcnn:
+            # (B, R, K, C) loader batches -> the (B·R, K, C) the RCNN head eats
+            pts = pts.reshape(-1, pts.shape[-2], pts.shape[-1])
+        input_dict = {"pts_input": pts}
         if "gt_boxes3d" in batch:
             input_dict["gt_boxes3d"] = batch["gt_boxes3d"]
 
@@ -162,5 +175,68 @@ def make_eval_step(cfg, model):
             {"params": state.params, "batch_stats": state.batch_stats},
             input_dict, train=False)
         return out
+
+    return eval_step
+
+
+def make_eval_loss_step(cfg, model):
+    """Validation pass for --train_with_eval (reference:
+    train_utils.py:140-168 Trainer.eval_epoch + train_rcnn.py:83): eval-mode
+    forward (running BN stats, no dropout), losses from the batch labels, plus
+    proposal recall@0.7 when the two-stage path runs. Returns a metrics dict;
+    the caller averages over the val loader."""
+    from ..models.train_functions import get_rcnn_loss, get_rpn_loss
+    from ..ops.rotated_iou import boxes_iou3d
+
+    offline_rcnn = bool(cfg.RCNN.ENABLED and not cfg.RPN.ENABLED)
+
+    def eval_step(state, batch):
+        pts = batch["pts_input"]
+        if offline_rcnn:
+            pts = pts.reshape(-1, pts.shape[-2], pts.shape[-1])
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            {"pts_input": pts}, train=False)
+        tb = {}
+        loss = jnp.zeros(())
+        if cfg.RPN.ENABLED and not cfg.RPN.FIXED:
+            rpn_loss, tb_rpn = get_rpn_loss(
+                cfg, out["rpn_cls"], out["rpn_reg"],
+                batch["rpn_cls_label"], batch["rpn_reg_label"])
+            loss = loss + rpn_loss
+            tb.update(tb_rpn)
+        if offline_rcnn:
+            # labels derived from saved-proposal IoU (reference
+            # eval_rcnn.py:361-366): fg above CLS_FG, bg below CLS_BG
+            gt_iou = batch["gt_iou"].reshape(-1)
+            cls_label = jnp.where(
+                gt_iou > cfg.RCNN.CLS_FG_THRESH, 1,
+                jnp.where(gt_iou < cfg.RCNN.CLS_BG_THRESH, 0, -1))
+            cls_label = jnp.where(batch["roi_valid"].reshape(-1), cls_label,
+                                  -1)
+            ret = dict(out)
+            ret["cls_label"] = cls_label
+            ret["reg_valid_mask"] = jnp.zeros_like(cls_label)
+            ret["roi_boxes3d"] = batch["roi_boxes3d"].reshape(-1, 7)
+            ret["gt_of_rois"] = jnp.zeros((cls_label.shape[0], 7))
+            rcnn_loss, tb_rcnn = get_rcnn_loss(cfg, ret)
+            loss = loss + rcnn_loss
+            tb.update(tb_rcnn)
+        if cfg.RPN.ENABLED and cfg.RCNN.ENABLED and "rois" in out:
+            gt = batch["gt_boxes3d"]
+            gt_valid = jnp.abs(gt).sum(axis=-1) > 0
+
+            def recall_one(rois, valid, gt_b, gt_v):
+                iou = boxes_iou3d(rois, gt_b)  # (M, G)
+                iou = jnp.where(valid[:, None], iou, 0.0)
+                gt_max = jnp.max(iou, axis=0)
+                return jnp.sum((gt_max > 0.7) & gt_v), jnp.sum(gt_v)
+
+            rec, cnt = jax.vmap(recall_one)(
+                out["rois"], out["roi_valid"], gt, gt_valid)
+            tb["recalled_cnt"] = jnp.sum(rec)
+            tb["gt_cnt"] = jnp.sum(cnt)
+        tb["loss"] = loss
+        return tb
 
     return eval_step

@@ -36,7 +36,13 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="evaluate PointRCNN (tpu)")
     parser.add_argument("--cfg_file", type=str, default=None)
     parser.add_argument("--eval_mode", type=str, default="rcnn",
-                        choices=["rpn", "rcnn", "joint"])
+                        choices=["rpn", "rcnn", "joint", "rcnn_offline"])
+    parser.add_argument("--rcnn_eval_roi_dir", type=str, default=None,
+                        help="saved RPN proposals (KITTI label files) for "
+                             "rcnn_offline evaluation")
+    parser.add_argument("--rcnn_eval_feature_dir", type=str, default=None,
+                        help="dumped RPN backbone features for rcnn_offline "
+                             "evaluation")
     parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--dataset", type=str, default="kitti")
     parser.add_argument("--batch_size", type=int, default=8)
@@ -97,46 +103,74 @@ def save_kitti_format(sample_id, calib, bbox3d, kitti_output_dir, scores,
     return n
 
 
+def rcnn_decode_and_nms(eval_cfg, rois, rcnn_cls, rcnn_reg, roi_valid,
+                        roi_size=None, max_final: int = 100):
+    """Shared tail of every RCNN eval path: bin decode relative to the ROI ->
+    sigmoid score thresh -> per-scene rotated NMS -> fixed-size final boxes
+    (reference: eval_rcnn.py:311-324 decode, :393-407/:615-636 NMS)."""
+    b, m = rois.shape[0], rois.shape[1]
+    anchor = (roi_size.reshape(-1, 3) if (eval_cfg.RCNN.SIZE_RES_ON_ROI
+                                          and roi_size is not None)
+              else jnp.asarray(eval_cfg.CLS_MEAN_SIZE[0]))
+    pred_boxes3d = decode_bbox_target(
+        rois.reshape(-1, 7), rcnn_reg.reshape(b * m, -1),
+        anchor_size=anchor, loc_scope=eval_cfg.RCNN.LOC_SCOPE,
+        loc_bin_size=eval_cfg.RCNN.LOC_BIN_SIZE,
+        num_head_bin=eval_cfg.RCNN.NUM_HEAD_BIN, get_xz_fine=True,
+        get_y_by_bin=eval_cfg.RCNN.LOC_Y_BY_BIN,
+        loc_y_scope=eval_cfg.RCNN.LOC_Y_SCOPE,
+        loc_y_bin_size=eval_cfg.RCNN.LOC_Y_BIN_SIZE,
+        get_ry_fine=True).reshape(b, m, 7)
+    norm_scores = jax.nn.sigmoid(rcnn_cls)
+    keep_scores = (norm_scores > eval_cfg.RCNN.SCORE_THRESH) & roi_valid
+
+    def per_image(boxes, raw_scores, valid):
+        bev = boxes3d_to_bev5(boxes)
+        idx, mask = nms_bev(bev, raw_scores, eval_cfg.RCNN.NMS_THRESH,
+                            max_final, valid=valid, rotated=True)
+        return boxes[idx], raw_scores[idx], mask
+
+    final_boxes, final_scores, final_mask = jax.vmap(per_image)(
+        pred_boxes3d, rcnn_cls, keep_scores)
+    return {"final_boxes": final_boxes, "final_scores": final_scores,
+            "final_mask": final_mask, "pred_boxes3d": pred_boxes3d,
+            "norm_scores": norm_scores, "raw_scores": rcnn_cls}
+
+
 def make_infer_step(model, eval_cfg, max_final: int = 100):
     """One jitted program: forward -> RCNN decode -> score thresh -> rotated
     NMS -> fixed-size final boxes + validity."""
-
-    mean_size = jnp.asarray(eval_cfg.CLS_MEAN_SIZE[0])
 
     def infer(variables, pts_input):
         out = model.apply(variables, {"pts_input": pts_input}, train=False)
         rois = out["rois"]  # (B, M, 7)
         b, m = rois.shape[0], rois.shape[1]
-        rcnn_reg = out["rcnn_reg"].reshape(b, m, -1)
-        rcnn_cls = out["rcnn_cls"].reshape(b, m)
-        pred_boxes3d = decode_bbox_target(
-            rois.reshape(-1, 7), rcnn_reg.reshape(b * m, -1),
-            anchor_size=mean_size, loc_scope=eval_cfg.RCNN.LOC_SCOPE,
-            loc_bin_size=eval_cfg.RCNN.LOC_BIN_SIZE,
-            num_head_bin=eval_cfg.RCNN.NUM_HEAD_BIN, get_xz_fine=True,
-            get_y_by_bin=eval_cfg.RCNN.LOC_Y_BY_BIN,
-            loc_y_scope=eval_cfg.RCNN.LOC_Y_SCOPE,
-            loc_y_bin_size=eval_cfg.RCNN.LOC_Y_BIN_SIZE,
-            get_ry_fine=True).reshape(b, m, 7)
-        norm_scores = jax.nn.sigmoid(rcnn_cls)
-        keep_scores = ((norm_scores > eval_cfg.RCNN.SCORE_THRESH)
-                       & out["roi_valid"])
-
-        def per_image(boxes, raw_scores, valid):
-            bev = boxes3d_to_bev5(boxes)
-            idx, mask = nms_bev(bev, raw_scores, eval_cfg.RCNN.NMS_THRESH,
-                                max_final, valid=valid, rotated=True)
-            return boxes[idx], raw_scores[idx], mask
-
-        final_boxes, final_scores, final_mask = jax.vmap(per_image)(
-            pred_boxes3d, rcnn_cls, keep_scores)
-        return {
-            "final_boxes": final_boxes, "final_scores": final_scores,
-            "final_mask": final_mask, "rois": rois,
-            "roi_scores_raw": out["roi_scores_raw"],
+        result = rcnn_decode_and_nms(
+            eval_cfg, rois, out["rcnn_cls"].reshape(b, m),
+            out["rcnn_reg"].reshape(b, m, -1), out["roi_valid"],
+            max_final=max_final)
+        result.update({
+            "rois": rois, "roi_scores_raw": out["roi_scores_raw"],
             "roi_valid": out["roi_valid"], "seg_result": out["seg_result"],
-            "pred_boxes3d": pred_boxes3d, "norm_scores": norm_scores,
-        }
+        })
+        return result
+
+    return infer
+
+
+def make_offline_infer_step(model, eval_cfg, max_final: int = 100):
+    """rcnn_offline eval: the RCNN head runs on loader-pooled canonical points;
+    rois come from the saved proposal files (reference:
+    eval_rcnn.py:263-460 eval_one_epoch_rcnn)."""
+
+    def infer(variables, pts_input, roi_boxes3d, roi_valid, roi_size):
+        b, m, k, c = pts_input.shape
+        out = model.apply(variables, {"pts_input": pts_input.reshape(-1, k, c)},
+                          train=False)
+        return rcnn_decode_and_nms(
+            eval_cfg, roi_boxes3d, out["rcnn_cls"].reshape(b, m),
+            out["rcnn_reg"].reshape(b, m, -1), roi_valid, roi_size=roi_size,
+            max_final=max_final)
 
     return infer
 
@@ -173,10 +207,17 @@ def eval_one_epoch_rpn(args, model, variables, loader, result_dir, logger):
     """RPN-only eval: per-point seg IoU + proposal recall (+ feature dumps)
     (reference parity: eval_rcnn.py:120-260 eval_one_epoch_rpn)."""
     dataset = loader.dataset
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=args.batch_size)
     if args.save_rpn_feature:
         features_dir = os.path.join(result_dir, "features")
         os.makedirs(features_dir, exist_ok=True)
+    if args.save_result or args.save_rpn_feature:
+        # detections/data is the roi producer for offline-RCNN train/eval
+        # (reference: eval_rcnn.py:128-132, 221-238)
+        kitti_output_dir = os.path.join(result_dir, "detections", "data")
+        seg_output_dir = os.path.join(result_dir, "seg_result")
+        os.makedirs(kitti_output_dir, exist_ok=True)
+        os.makedirs(seg_output_dir, exist_ok=True)
 
     def rpn_infer(variables, pts_input):
         out = model.apply(variables, {"pts_input": pts_input}, train=False)
@@ -207,6 +248,25 @@ def eval_one_epoch_rpn(args, model, variables, loader, result_dir, logger):
             sample_id = int(batch["sample_id"][k])
             if args.save_rpn_feature:
                 save_rpn_features(out, batch, k, features_dir, sample_id)
+            if args.save_result or args.save_rpn_feature:
+                # proposals as KITTI label files + per-point seg dump
+                # (reference: eval_rcnn.py:221-238)
+                pred_cls = out["seg_result"][k].astype(np.float32)
+                pts_rect = batch["pts_rect"][k].reshape(-1, 3)
+                cols = [pts_rect]
+                if not args.test and "rpn_cls_label" in batch:
+                    cols.append(
+                        batch["rpn_cls_label"][k].reshape(-1, 1).astype(
+                            np.float32))
+                cols.append(pred_cls.reshape(-1, 1))
+                np.save(os.path.join(seg_output_dir, "%06d.npy" % sample_id),
+                        np.concatenate(cols, axis=1).astype(np.float16))
+                rois_k = out["rois"][k][out["roi_valid"][k]]
+                scores_k = out["roi_scores_raw"][k][out["roi_valid"][k]]
+                save_kitti_format(
+                    sample_id, dataset.get_calib(sample_id), rois_k,
+                    kitti_output_dir, scores_k,
+                    dataset.get_image_shape(sample_id), classes=cfg.CLASSES)
             if not args.test and "rpn_cls_label" in batch:
                 seg = out["seg_result"][k].astype(bool)
                 label = batch["rpn_cls_label"][k]
@@ -237,8 +297,15 @@ def eval_one_epoch_joint(args, model, variables, loader, result_dir, logger):
     dataset = loader.dataset
     final_output_dir = os.path.join(result_dir, "final_result", "data")
     os.makedirs(final_output_dir, exist_ok=True)
+    if args.save_result:
+        # pre-NMS roi + refined-box label dumps (reference:
+        # eval_rcnn.py:474-480, 586-607): roi_result/data feeds offline-RCNN
+        roi_output_dir = os.path.join(result_dir, "roi_result", "data")
+        refine_output_dir = os.path.join(result_dir, "refine_result", "data")
+        os.makedirs(roi_output_dir, exist_ok=True)
+        os.makedirs(refine_output_dir, exist_ok=True)
 
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=args.batch_size)
     infer = jax.jit(make_infer_step(model, cfg))
     total_recall = np.zeros(len(THRESH_LIST), np.int64)
     total_roi_recall = np.zeros(len(THRESH_LIST), np.int64)
@@ -264,6 +331,16 @@ def eval_one_epoch_joint(args, model, variables, loader, result_dir, logger):
             scores = out["final_scores"][k][mask]
             calib = dataset.get_calib(sample_id)
             img_shape = dataset.get_image_shape(sample_id)
+            if args.save_result:
+                valid_k = out["roi_valid"][k]
+                save_kitti_format(
+                    sample_id, calib, out["rois"][k][valid_k], roi_output_dir,
+                    out["roi_scores_raw"][k][valid_k], img_shape,
+                    classes=cfg.CLASSES)
+                save_kitti_format(
+                    sample_id, calib, out["pred_boxes3d"][k][valid_k],
+                    refine_output_dir, out["raw_scores"][k][valid_k],
+                    img_shape, classes=cfg.CLASSES)
             final_total += save_kitti_format(
                 sample_id, calib, boxes, final_output_dir, scores, img_shape,
                 classes=cfg.CLASSES)
@@ -310,6 +387,111 @@ def eval_one_epoch_joint(args, model, variables, loader, result_dir, logger):
     }
 
 
+def eval_one_epoch_rcnn(args, model, variables, loader, result_dir, logger):
+    """rcnn_offline eval: saved proposals + dumped features -> RCNN refinement
+    -> KITTI dumps + recall/cls-acc tables (reference parity:
+    eval_rcnn.py:263-460 eval_one_epoch_rcnn; batched + fixed-shape here)."""
+    dataset = loader.dataset
+    final_output_dir = os.path.join(result_dir, "final_result", "data")
+    os.makedirs(final_output_dir, exist_ok=True)
+    if args.save_result:
+        roi_output_dir = os.path.join(result_dir, "roi_result", "data")
+        refine_output_dir = os.path.join(result_dir, "refine_result", "data")
+        os.makedirs(roi_output_dir, exist_ok=True)
+        os.makedirs(refine_output_dir, exist_ok=True)
+
+    mesh = make_mesh(batch_size=args.batch_size)
+    infer = jax.jit(make_offline_infer_step(model, cfg))
+    total_recall = np.zeros(len(THRESH_LIST), np.int64)
+    total_roi_recall = np.zeros(len(THRESH_LIST), np.int64)
+    total_gt = 0
+    total_cls_acc, total_cls_acc_refined = 0.0, 0.0
+    final_total, n_scenes = 0, 0
+    for batch in loader:
+        batch_dev = shard_batch(mesh, {
+            k: batch[k] for k in ("pts_input", "roi_boxes3d", "roi_valid",
+                                  "roi_size")})
+        out = jax.device_get(infer(
+            variables, batch_dev["pts_input"], batch_dev["roi_boxes3d"],
+            batch_dev["roi_valid"], batch_dev["roi_size"]))
+        for k in range(len(batch["sample_id"])):
+            if not batch["batch_valid"][k]:
+                continue
+            n_scenes += 1
+            sample_id = int(batch["sample_id"][k])
+            valid_k = batch["roi_valid"][k]
+            calib = dataset.get_calib(sample_id)
+            img_shape = dataset.get_image_shape(sample_id)
+            if args.save_result:
+                save_kitti_format(
+                    sample_id, calib, batch["roi_boxes3d"][k][valid_k],
+                    roi_output_dir, batch["roi_scores"][k][valid_k],
+                    img_shape, classes=cfg.CLASSES)
+                save_kitti_format(
+                    sample_id, calib, out["pred_boxes3d"][k][valid_k],
+                    refine_output_dir, out["raw_scores"][k][valid_k],
+                    img_shape, classes=cfg.CLASSES)
+            mask = out["final_mask"][k]
+            boxes = out["final_boxes"][k][mask]
+            scores = out["final_scores"][k][mask]
+            final_total += save_kitti_format(
+                sample_id, calib, boxes, final_output_dir, scores, img_shape,
+                classes=cfg.CLASSES)
+            if not args.test and "gt_boxes3d" in batch:
+                gt = batch["gt_boxes3d"][k]
+                gt = gt[np.abs(gt).sum(axis=1) > 0]
+                rec, n_gt = _recall_counts(out["pred_boxes3d"][k][valid_k], gt)
+                total_recall += rec
+                total_gt += n_gt
+                roi_rec, _ = _recall_counts(batch["roi_boxes3d"][k][valid_k],
+                                            gt)
+                total_roi_recall += roi_rec
+                # cls accuracy vs gt_iou (reference :361-372)
+                gt_iou = batch["gt_iou"][k][valid_k]
+                pred_cls = (out["norm_scores"][k][valid_k]
+                            > cfg.RCNN.SCORE_THRESH)
+                cls_label = gt_iou > cfg.RCNN.CLS_FG_THRESH
+                cls_valid = ((gt_iou >= cfg.RCNN.CLS_FG_THRESH)
+                             | (gt_iou <= cfg.RCNN.CLS_BG_THRESH))
+                total_cls_acc += (float(((pred_cls == cls_label)
+                                         & cls_valid).sum())
+                                  / max(float(cls_valid.sum()), 1.0))
+                iou_thresh = 0.7 if cfg.CLASSES == "Car" else 0.5
+                refined_label = gt_iou >= iou_thresh
+                total_cls_acc_refined += (
+                    float((pred_cls == refined_label).sum())
+                    / max(len(refined_label), 1.0))
+
+    for sid in dataset.image_idx_list:
+        cur = os.path.join(final_output_dir, f"{sid}.txt")
+        if not os.path.exists(cur):
+            open(cur, "w").close()
+    logger.info(f"final average detections: "
+                f"{final_total / max(n_scenes, 1):.3f}")
+    logger.info(f"final average cls acc: "
+                f"{total_cls_acc / max(n_scenes, 1):.3f}")
+    logger.info(f"final average cls acc refined: "
+                f"{total_cls_acc_refined / max(n_scenes, 1):.3f}")
+    if total_gt > 0:
+        for i, t in enumerate(THRESH_LIST):
+            logger.info(f"total bbox recall(thresh={t:.3f}): "
+                        f"{int(total_recall[i])} / {total_gt} = "
+                        f"{total_recall[i] / total_gt:.6f}")
+            logger.info(f"total roi  recall(thresh={t:.3f}): "
+                        f"{int(total_roi_recall[i])} / {total_gt} = "
+                        f"{total_roi_recall[i] / total_gt:.6f}")
+    return {
+        "recall": {t: float(total_recall[i] / max(total_gt, 1))
+                   for i, t in enumerate(THRESH_LIST)},
+        "roi_recall": {t: float(total_roi_recall[i] / max(total_gt, 1))
+                       for i, t in enumerate(THRESH_LIST)},
+        "rcnn_cls_acc": total_cls_acc / max(n_scenes, 1),
+        "rcnn_cls_acc_refined": total_cls_acc_refined / max(n_scenes, 1),
+        "avg_detections": final_total / max(n_scenes, 1),
+        "final_output_dir": final_output_dir,
+    }
+
+
 def main(argv=None):
     import os as _os
 
@@ -336,7 +518,14 @@ def main(argv=None):
     if args.set_cfgs:
         cfg_from_list(args.set_cfgs)
     # eval modes mirror train modes (reference: eval_rcnn.py:878-895)
-    configure_mode("joint" if args.eval_mode in ("rcnn", "joint") else "rpn")
+    if args.eval_mode == "rcnn_offline":
+        assert args.rcnn_eval_roi_dir and args.rcnn_eval_feature_dir, \
+            "rcnn_offline needs --rcnn_eval_roi_dir and " \
+            "--rcnn_eval_feature_dir"
+        configure_mode("rcnn_offline")
+    else:
+        configure_mode("joint" if args.eval_mode in ("rcnn", "joint")
+                       else "rpn")
     if args.eval_mode == "rcnn":
         cfg.RPN.FIXED = True
 
@@ -356,21 +545,25 @@ def main(argv=None):
     dataset = KittiRCNNDataset(
         root_dir=data_root, npoints=cfg.RPN.NUM_POINTS, split=split,
         mode="TEST" if args.test else "EVAL", classes=cfg.CLASSES, cfg=cfg,
-        random_select=True, logger=logger, seed=args.seed)
+        random_select=True, logger=logger, seed=args.seed,
+        rcnn_eval_roi_dir=args.rcnn_eval_roi_dir,
+        rcnn_eval_feature_dir=args.rcnn_eval_feature_dir)
     loader = BatchLoader(dataset, args.batch_size, shuffle=False,
                          num_workers=args.workers)
 
     model = PointRCNN(cfg=cfg, mode="TEST")
     sample = next(iter(loader))
-    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
-            "target": jax.random.PRNGKey(2)}
     from ..parallel import create_train_state
 
-    state = create_train_state(cfg, model,
-                               {"pts_input": sample["pts_input"][:1]},
+    init_pts = sample["pts_input"][:1]
+    if args.eval_mode == "rcnn_offline":  # (1, M, K, C) -> (M, K, C)
+        init_pts = init_pts.reshape(-1, init_pts.shape[-2],
+                                    init_pts.shape[-1])
+    state = create_train_state(cfg, model, {"pts_input": init_pts},
                                jax.random.PRNGKey(0), 1, 1, train=False)
-    eval_fn = (eval_one_epoch_rpn if args.eval_mode == "rpn"
-               else eval_one_epoch_joint)
+    eval_fn = {"rpn": eval_one_epoch_rpn,
+               "rcnn_offline": eval_one_epoch_rcnn}.get(args.eval_mode,
+                                                        eval_one_epoch_joint)
 
     if args.eval_all and args.ckpt_dir:
         return repeat_eval_ckpt(args, model, state, loader, result_dir, logger,

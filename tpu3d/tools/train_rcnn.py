@@ -26,6 +26,7 @@ from ..models import PointRCNN
 from ..parallel import (
     bn_momentum_at_epoch,
     create_train_state,
+    make_eval_loss_step,
     make_mesh,
     make_train_step,
     shard_batch,
@@ -38,7 +39,24 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="train PointRCNN (tpu)")
     parser.add_argument("--cfg_file", type=str, default=None)
     parser.add_argument("--train_mode", type=str, default="rpn",
-                        choices=["rpn", "rcnn", "joint"])
+                        choices=["rpn", "rcnn", "joint", "rcnn_offline"])
+    parser.add_argument("--rcnn_training_roi_dir", type=str, default=None,
+                        help="saved RPN proposals (KITTI label files) for "
+                             "rcnn_offline training")
+    parser.add_argument("--rcnn_training_feature_dir", type=str, default=None,
+                        help="dumped RPN backbone features for rcnn_offline "
+                             "training")
+    parser.add_argument("--train_with_eval", action="store_true",
+                        help="evaluate loss/recall on the val split during "
+                             "training (reference --train_with_eval/eval_epoch)")
+    parser.add_argument("--eval_frequency", type=int, default=1,
+                        help="epochs between in-training evals")
+    parser.add_argument("--rcnn_eval_roi_dir", type=str, default=None,
+                        help="saved proposals for the val split "
+                             "(rcnn_offline + --train_with_eval)")
+    parser.add_argument("--rcnn_eval_feature_dir", type=str, default=None,
+                        help="dumped features for the val split "
+                             "(rcnn_offline + --train_with_eval)")
     parser.add_argument("--data_root", type=str, default=None,
                         help="dataset root containing KITTI/ (default: "
                              "multi_data/<dataset>)")
@@ -78,6 +96,9 @@ def configure_mode(train_mode: str):
     elif train_mode == "joint":
         cfg.RPN.ENABLED = cfg.RCNN.ENABLED = True
         cfg.RPN.FIXED = False
+    elif train_mode == "rcnn_offline":
+        cfg.RCNN.ENABLED = True
+        cfg.RPN.ENABLED = False
     else:
         raise ValueError(train_mode)
 
@@ -133,10 +154,17 @@ def main(argv=None):
         args.data_root = data_root
     data_root = args.data_root or os.path.join("multi_data", args.dataset)
 
+    if args.train_mode == "rcnn_offline":
+        assert args.rcnn_training_roi_dir and args.rcnn_training_feature_dir, \
+            "rcnn_offline needs --rcnn_training_roi_dir and " \
+            "--rcnn_training_feature_dir (dumped by eval_rcnn --eval_mode rpn " \
+            "--save_rpn_feature --save_result)"
     dataset = KittiRCNNDataset(
         root_dir=data_root, npoints=cfg.RPN.NUM_POINTS, split=cfg.TRAIN.SPLIT,
         mode="TRAIN", classes=cfg.CLASSES, cfg=cfg, logger=logger,
         gt_database_dir=args.gt_database, subsample=args.subsample,
+        rcnn_training_roi_dir=args.rcnn_training_roi_dir,
+        rcnn_training_feature_dir=args.rcnn_training_feature_dir,
         shuffle_subsample=args.shuffle_subsample, seed=args.seed)
     loader = BatchLoader(dataset, args.batch_size, shuffle=True,
                          num_workers=args.workers, drop_last=True,
@@ -144,12 +172,30 @@ def main(argv=None):
     steps_per_epoch = max(1, len(loader))
     logger.info(f"dataset: {len(dataset)} samples, {steps_per_epoch} steps/epoch")
 
-    mesh = make_mesh()
+    val_loader = None
+    if args.train_with_eval:
+        # in-training validation (reference: train_rcnn.py:83-93 test_loader)
+        val_dataset = KittiRCNNDataset(
+            root_dir=data_root, npoints=cfg.RPN.NUM_POINTS,
+            split=cfg.TRAIN.VAL_SPLIT, mode="EVAL", classes=cfg.CLASSES,
+            cfg=cfg, logger=logger, seed=args.seed,
+            rcnn_eval_roi_dir=args.rcnn_eval_roi_dir,
+            rcnn_eval_feature_dir=args.rcnn_eval_feature_dir)
+        val_loader = BatchLoader(val_dataset,
+                                 min(args.batch_size, len(val_dataset)),
+                                 shuffle=False, num_workers=args.workers,
+                                 drop_last=True)
+        logger.info(f"val dataset: {len(val_dataset)} samples")
+
+    mesh = make_mesh(batch_size=args.batch_size)
     logger.info(f"mesh: {mesh}")
     model = PointRCNN(cfg=cfg, mode="TRAIN")
     sample = next(iter(loader))
-    sample_input = {"pts_input": sample["pts_input"]}
-    if "gt_boxes3d" in sample:
+    pts = sample["pts_input"]
+    if args.train_mode == "rcnn_offline":  # (B, R, K, C) -> (B·R, K, C)
+        pts = pts.reshape(-1, pts.shape[-2], pts.shape[-1])
+    sample_input = {"pts_input": pts}
+    if "gt_boxes3d" in sample and args.train_mode != "rcnn_offline":
         sample_input["gt_boxes3d"] = sample["gt_boxes3d"]
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(cfg, model, sample_input, rng, steps_per_epoch,
@@ -166,8 +212,35 @@ def main(argv=None):
         logger.info(f"partial-loaded RPN weights from {args.rpn_ckpt}")
 
     train_step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+    eval_loss_step = (jax.jit(make_eval_loss_step(cfg, model))
+                      if val_loader is not None else None)
     tb = create_tb_writer(os.path.join(root, "tensorboard"))
     step_rng = jax.random.PRNGKey(args.seed + 1)
+
+    VAL_KEYS = ("pts_input", "gt_boxes3d", "rpn_cls_label", "rpn_reg_label",
+                "gt_iou", "roi_valid", "roi_boxes3d")
+
+    def eval_epoch(state, epoch):
+        """Average val metrics over the loader (reference: eval_epoch,
+        train_utils.py:140-168)."""
+        sums, count = {}, 0
+        val_mesh = make_mesh(batch_size=val_loader.batch_size)
+        for vbatch in val_loader:
+            vb = shard_batch(val_mesh, {k: v for k, v in vbatch.items()
+                                        if k in VAL_KEYS})
+            metrics = jax.device_get(eval_loss_step(state, vb))
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        out = {k: v / max(count, 1) for k, v in sums.items()}
+        if "gt_cnt" in sums and sums["gt_cnt"] > 0:
+            out["recall"] = sums["recalled_cnt"] / sums["gt_cnt"]
+        logger.info("epoch %d val: %s" % (epoch, " ".join(
+            f"{k}={v:.4f}" for k, v in sorted(out.items()))))
+        if tb:
+            for k, v in out.items():
+                tb.add_scalar(f"val/{k}", v, int(state.step))
+        return out
 
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
@@ -176,7 +249,8 @@ def main(argv=None):
             batch = shard_batch(mesh, {
                 k: v for k, v in batch.items()
                 if k in ("pts_input", "gt_boxes3d", "rpn_cls_label",
-                         "rpn_reg_label")})
+                         "rpn_reg_label", "cls_label", "reg_valid_mask",
+                         "gt_boxes3d_ct", "roi_boxes3d")})
             gstep0 = int(state.step)
             if args.profile and gstep0 == 10:
                 jax.profiler.start_trace(os.path.join(root, "profile"))
@@ -196,6 +270,8 @@ def main(argv=None):
         if (epoch + 1) % args.ckpt_save_interval == 0 or epoch == args.epochs - 1:
             path = save_checkpoint(ckpt_dir, state, epoch + 1)
             logger.info(f"checkpoint saved: {path}")
+        if val_loader is not None and epoch % args.eval_frequency == 0:
+            eval_epoch(state, epoch)
     logger.info("**********************End training**********************")
     return state
 
