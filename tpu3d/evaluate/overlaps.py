@@ -76,21 +76,19 @@ def bev_box_overlap(boxes7: np.ndarray, qboxes7: np.ndarray,
     return _rotated_overlap_padded(bev_a, bev_b, criterion)
 
 
-def d3_box_overlap(boxes7: np.ndarray, qboxes7: np.ndarray,
-                   criterion: int = -1) -> np.ndarray:
-    """Full 3D overlap: rotated BEV intersection × camera-y extent overlap
-    (eval2.py:136-169 parity: box spans [y − h, y], dims are lhw)."""
-    inter_bev = _rotated_overlap_padded(
-        boxes7[:, [0, 2, 3, 5, 6]], qboxes7[:, [0, 2, 3, 5, 6]], criterion=-2)
-    if inter_bev.size == 0:
-        return inter_bev
+def d3_box_overlap_from_rinc(boxes7: np.ndarray, qboxes7: np.ndarray,
+                             rinc: np.ndarray,
+                             criterion: int = -1) -> np.ndarray:
+    """Fuse a rotated-BEV intersection matrix with the camera-y extent overlap
+    (exact semantics of eval2.py:136-163 d3_box_overlap_kernel: entries with
+    rinc ≤ 0 pass through unchanged; box spans [y − h, y], dims are lhw)."""
     y_a, h_a = boxes7[:, 1], boxes7[:, 4]
     y_b, h_b = qboxes7[:, 1], qboxes7[:, 4]
     iw = (np.minimum(y_a[:, None], y_b[None, :])
           - np.maximum((y_a - h_a)[:, None], (y_b - h_b)[None, :]))
     vol_a = (boxes7[:, 3] * boxes7[:, 4] * boxes7[:, 5])[:, None]
     vol_b = (qboxes7[:, 3] * qboxes7[:, 4] * qboxes7[:, 5])[None, :]
-    inc = iw * inter_bev
+    inc = iw * rinc
     if criterion == -1:
         ua = vol_a + vol_b - inc
     elif criterion == 0:
@@ -99,8 +97,20 @@ def d3_box_overlap(boxes7: np.ndarray, qboxes7: np.ndarray,
         ua = np.broadcast_to(vol_b, inc.shape)
     else:
         ua = inc
-    out = np.where((iw > 0) & (inter_bev > 0), inc / ua, 0.0)
-    return out
+    with np.errstate(invalid="ignore", divide="ignore"):
+        fused = np.where(iw > 0, inc / ua, 0.0)
+    return np.where(rinc > 0, fused, rinc)
+
+
+def d3_box_overlap(boxes7: np.ndarray, qboxes7: np.ndarray,
+                   criterion: int = -1) -> np.ndarray:
+    """Full 3D overlap: rotated BEV intersection × camera-y extent overlap
+    (eval2.py:136-169 parity)."""
+    inter_bev = _rotated_overlap_padded(
+        boxes7[:, [0, 2, 3, 5, 6]], qboxes7[:, [0, 2, 3, 5, 6]], criterion=-2)
+    if inter_bev.size == 0:
+        return inter_bev
+    return d3_box_overlap_from_rinc(boxes7, qboxes7, inter_bev, criterion)
 
 
 def _anno_boxes7(anno: dict) -> np.ndarray:
