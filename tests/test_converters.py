@@ -1,0 +1,871 @@
+"""Schema-level converter fixtures (SURVEY §7 "hard parts": the dataset SDKs
+are ancient, so each converter is validated against hand-constructed fake SDK
+objects instead of the original pins). Every test executes the real converter
+code path end to end — fake SDK in, real KITTI files out — and pins the label
+math against independently hand-computed values.
+
+Reference behaviors pinned:
+- waymo2kitti label math + culls (reference convert/waymo2kitti.py:150-196),
+  dual-return lidar merge w/ reflectance 1.0 (:246-252), synthesized calib.
+- argo2kitti cv2 stereo rectification (reference convert/argo2kitti.py:317-364,
+  run with the REAL cv2), ring-camera exports, pose files.
+- nusc2kitti rotation-convention asserts (reference convert/nusc2kitti.py:
+  243-244), box chain via KittiDB semantics, last-N-scenes val split
+  (:182-197), kitti_res_to_nuscenes back-conversion (:383+).
+- lyft2kitti 4-step lid->ego->world->ego->cam chain (reference
+  convert/lyft2kitti.py:223-235).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tpu3d.kitti.calibration import Calibration
+from tpu3d.kitti.object3d import read_label
+
+
+class NS(types.SimpleNamespace):
+    pass
+
+
+# ============================================================ waymo fixtures
+
+WAYMO_W, WAYMO_H = 200, 120
+WAYMO_F, WAYMO_CU, WAYMO_CV = 100.0, 100.0, 60.0
+
+
+def _fake_waymo_modules():
+    """Fake tf / open_dataset / frame_utils triple for _require_waymo.
+
+    The fake Frame carries a pickled payload; frame_utils returns the payload's
+    stored per-return point lists, mirroring the real
+    convert_range_image_to_point_cloud contract (list of (N_i, 3) arrays).
+    """
+
+    class FakeFrame:
+        def ParseFromString(self, raw):
+            payload = pickle.loads(bytes(raw))
+            self.images = [NS(name=pay["name"], image=pay["jpeg"])
+                           for pay in payload["images"]]
+            self.context = NS(camera_calibrations=[
+                NS(name=c["name"],
+                   extrinsic=NS(transform=c["extrinsic"]),
+                   intrinsic=c["intrinsic"],
+                   height=c["height"], width=c["width"])
+                for c in payload["calibrations"]])
+            self.laser_labels = [
+                NS(type=l["type"],
+                   box=NS(**l["box"]))
+                for l in payload["labels"]]
+            self._points = payload["points"]
+
+    open_dataset = NS(Frame=FakeFrame, CameraName=NS(FRONT=1))
+
+    class FakeDataset(list):
+        pass
+
+    def tfrecord_dataset(path, compression_type=""):
+        with open(path, "rb") as f:
+            records = pickle.load(f)
+        ds = FakeDataset()
+        for r in records:
+            ds.append(NS(numpy=lambda r=r: r))
+        return ds
+
+    tf = NS(
+        data=NS(TFRecordDataset=tfrecord_dataset),
+        image=NS(
+            decode_jpeg=lambda blob: NS(numpy=lambda: pickle.loads(blob)),
+            encode_png=lambda arr: b"PNG" + pickle.dumps(np.asarray(arr)),
+        ),
+        io=NS(write_file=lambda path, data: open(path, "wb").write(data)),
+    )
+
+    def parse_range_image(frame):
+        return None, None, None, None
+
+    def to_point_cloud(frame, ri, cp, pose, ri_index=0):
+        return [np.asarray(p, np.float32)
+                for p in frame._points[ri_index]], None
+
+    frame_utils = NS(
+        parse_range_image_and_camera_projection=parse_range_image,
+        convert_range_image_to_point_cloud=to_point_cloud)
+    return tf, open_dataset, frame_utils
+
+
+def _waymo_frame_payload():
+    """One frame: identity camera extrinsic (cam frame == ego frame before the
+    KITTI axis permutation), pinhole f=100 c=(100,60), one Car dead ahead, one
+    Car behind (culled), one SIGN (culled)."""
+    car = {"type": 1, "box": dict(center_x=10.0, center_y=0.0, center_z=0.0,
+                                  height=1.5, width=1.8, length=4.0,
+                                  heading=0.0)}
+    behind = {"type": 1, "box": dict(center_x=-10.0, center_y=0.0,
+                                     center_z=0.0, height=1.5, width=1.8,
+                                     length=4.0, heading=0.0)}
+    sign = {"type": 3, "box": dict(center_x=12.0, center_y=1.0, center_z=0.0,
+                                   height=0.5, width=0.5, length=0.5,
+                                   heading=0.0)}
+    intrinsic = [WAYMO_F, WAYMO_F, WAYMO_CU, WAYMO_CV, 0, 0, 0, 0, 0]
+    img = np.zeros((WAYMO_H, WAYMO_W, 3), np.uint8)
+    payload = {
+        "images": [{"name": 1, "jpeg": pickle.dumps(img)}],
+        "calibrations": [{"name": 1, "extrinsic": np.eye(4).reshape(-1),
+                          "intrinsic": intrinsic,
+                          "height": WAYMO_H, "width": WAYMO_W}],
+        "labels": [car, behind, sign],
+        "points": {
+            0: [np.array([[5.0, 1.0, 0.5], [7.0, -1.0, 0.2]], np.float32)],
+            1: [np.array([[9.0, 0.0, 1.0]], np.float32)],
+        },
+    }
+    return payload
+
+
+def test_waymo_read_file_schema(tmp_path, monkeypatch):
+    from tpu3d.convert import waymo2kitti as w2k
+    from tpu3d.convert.kitti_format import build_kitti_dirs
+
+    monkeypatch.setattr(w2k, "_require_waymo", _fake_waymo_modules)
+    record = pickle.dumps(_waymo_frame_payload())
+    tfrec = tmp_path / "seg-000.tfrecord"
+    with open(tfrec, "wb") as f:
+        pickle.dump([record], f)
+    paths = build_kitti_dirs(str(tmp_path / "kitti"), "training")
+
+    signal, done, target = NS(value=-1), NS(value=0), NS(value=0)
+    w2k.read_file(str(tfrec), paths, 0, signal, done, target)
+    assert signal.value == 1 and done.value == 1
+
+    # --- image written through the (fake) png encoder
+    assert (tmp_path / "kitti/training/image_2/000000.png").exists()
+
+    # --- velodyne: both lidar returns merged, reflectance forced to 1.0
+    pts = np.fromfile(paths["lidar"] + "/000000.bin",
+                      np.float32).reshape(-1, 4)
+    assert pts.shape == (3, 4)
+    np.testing.assert_array_equal(pts[:, 3], 1.0)
+    np.testing.assert_allclose(
+        pts[:, :3], [[5, 1, 0.5], [7, -1, 0.2], [9, 0, 1.0]])
+
+    # --- calib parses with the project's own Calibration; P2 is the pinhole
+    calib = Calibration(paths["calib"] + "/000000.txt")
+    np.testing.assert_allclose(calib.P[0, 0], WAYMO_F)
+    np.testing.assert_allclose(calib.P[0, 2], WAYMO_CU)
+    # identity camera pose -> Tr_velo_to_cam is the pure ego->cam permutation
+    # x_cam=-y_ego, y_cam=-z_ego, z_cam=x_ego (waymo2kitti.py:115-124)
+    np.testing.assert_allclose(
+        calib.V2C, np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]]),
+        atol=1e-12)
+
+    # --- labels: behind-camera and SIGN culled; the Car's values hand-checked
+    objs = read_label(paths["label"] + "/000000.txt")
+    assert len(objs) == 1
+    o = objs[0]
+    assert o.cls_type == "Car"
+    # ego (10,0,0) -> cam (0,0,10); bottom-center y += h/2
+    np.testing.assert_allclose([o.pos[0], o.pos[1], o.pos[2]],
+                               [0.0, 0.75, 10.0], atol=5e-3)
+    assert abs(o.ry - (-np.pi / 2)) < 5e-3  # heading 0 -> ry = -pi/2
+    assert abs(o.alpha - (-np.pi / 2)) < 5e-3
+    np.testing.assert_allclose([o.h, o.w, o.l], [1.5, 1.8, 4.0], atol=5e-3)
+    # corners at x_cam=-+0.9 (w/2... via l/2=2.0 along ego y), z in 10+-0.9:
+    # u = cu +- 100*2.0/z, v = cv +- 100*0.75/z, widest at z=9.1
+    np.testing.assert_allclose(
+        [o.box2d[0], o.box2d[2]],
+        [WAYMO_CU - 100 * 2.0 / 9.1, WAYMO_CU + 100 * 2.0 / 9.1], atol=0.02)
+    np.testing.assert_allclose(
+        [o.box2d[1], o.box2d[3]],
+        [WAYMO_CV - 100 * 0.75 / 9.1, WAYMO_CV + 100 * 0.75 / 9.1], atol=0.02)
+    assert o.truncation == 0.0 and o.occlusion == 0
+
+
+def test_waymo_truncation_and_occlusion(tmp_path, monkeypatch):
+    """A car half-out-of-frame gets truncation ~ the clipped-area fraction; a
+    car painted over by a nearer one gets a nonzero occlusion tier
+    (waymo2kitti.py:163-180, :272-284)."""
+    from tpu3d.convert import waymo2kitti as w2k
+    from tpu3d.convert.kitti_format import build_kitti_dirs
+
+    monkeypatch.setattr(w2k, "_require_waymo", _fake_waymo_modules)
+    payload = _waymo_frame_payload()
+    # far car dead ahead + near car slightly right that paints over it
+    far = {"type": 1, "box": dict(center_x=40.0, center_y=0.0, center_z=0.0,
+                                  height=1.5, width=1.8, length=4.0,
+                                  heading=0.0)}
+    near = {"type": 1, "box": dict(center_x=12.0, center_y=-1.0, center_z=0.0,
+                                   height=1.5, width=1.8, length=4.0,
+                                   heading=0.0)}
+    # edge car: pushed left so its bbox clips the image border
+    edge = {"type": 1, "box": dict(center_x=10.0, center_y=8.5, center_z=0.0,
+                                   height=1.5, width=1.8, length=4.0,
+                                   heading=0.0)}
+    payload["labels"] = [far, near, edge]
+    record = pickle.dumps(payload)
+    tfrec = tmp_path / "seg-001.tfrecord"
+    with open(tfrec, "wb") as f:
+        pickle.dump([record], f)
+    paths = build_kitti_dirs(str(tmp_path / "kitti"), "training")
+    w2k.read_file(str(tfrec), paths, 0, NS(value=-1), NS(value=0),
+                  NS(value=0))
+    objs = read_label(paths["label"] + "/000000.txt")
+    by_x = {round(float(o.pos[2])): o for o in objs}
+    assert 40 in by_x and 12 in by_x and 10 in by_x
+    assert by_x[10].truncation > 0.2  # edge car clipped at the border
+    assert by_x[12].occlusion == 0  # nearest is unoccluded
+    assert by_x[40].occlusion >= 1  # far car painted over
+
+
+# ============================================================= argo fixtures
+
+ARGO_F, ARGO_CU, ARGO_CV = 100.0, 100.0, 60.0
+RING_W, RING_H = 200, 120
+STEREO_W, STEREO_H = 256, 160
+# ego -> cam permutation (x_cam=-y_ego, y_cam=-z_ego, z_cam=x_ego)
+PERM = np.array([[0.0, -1, 0], [0, 0, -1], [1, 0, 0]])
+
+
+class FakeArgoCalib:
+    """Mimics argoverse.utils.calibration.Calibration's used surface:
+    .K (3x4), .extrinsic (4x4 ego->cam), .R, project_ego_to_cam/image."""
+
+    def __init__(self, extrinsic, K):
+        self.extrinsic = np.asarray(extrinsic, np.float64)
+        self.K = np.asarray(K, np.float64)
+        self.R = self.extrinsic[:3, :3]
+
+    def project_ego_to_cam(self, pts):
+        hom = np.hstack([pts, np.ones((len(pts), 1))])
+        return (self.extrinsic @ hom.T).T[:, :3]
+
+    def project_ego_to_image(self, pts):
+        cam = self.project_ego_to_cam(pts)
+        uv = np.hstack([cam, np.ones((len(cam), 1))]) @ self.K.T
+        return np.hstack([uv[:, :2] / uv[:, 2:3], cam[:, 2:3]])
+
+
+def _install_fake_argo(monkeypatch):
+    from scipy.spatial.transform import Rotation
+
+    ring_cams = ["ring_front_center", "ring_side_left"]
+
+    argoverse = types.ModuleType("argoverse")
+    utils_mod = types.ModuleType("argoverse.utils")
+    transform_mod = types.ModuleType("argoverse.utils.transform")
+    transform_mod.quat2rotmat = lambda wxyz: Rotation.from_quat(
+        [wxyz[1], wxyz[2], wxyz[3], wxyz[0]]).as_matrix()
+    ply_mod = types.ModuleType("argoverse.utils.ply_loader")
+    ply_mod.load_ply = lambda p: np.load(p)
+    camera_stats = types.ModuleType("argoverse.utils.camera_stats")
+    camera_stats.RING_CAMERA_LIST = ring_cams
+    camera_stats.RING_IMG_HEIGHT = RING_H
+    camera_stats.RING_IMG_WIDTH = RING_W
+    camera_stats.STEREO_CAMERA_LIST = ["stereo_front_left",
+                                       "stereo_front_right"]
+    camera_stats.STEREO_IMG_HEIGHT = STEREO_H
+    camera_stats.STEREO_IMG_WIDTH = STEREO_W
+    loader_mod = types.ModuleType(
+        "argoverse.data_loading.argoverse_tracking_loader")
+    loader_mod.ArgoverseTrackingLoader = object
+    utils_mod.transform = transform_mod
+    utils_mod.ply_loader = ply_mod
+    utils_mod.camera_stats = camera_stats
+    argoverse.utils = utils_mod
+    data_loading = types.ModuleType("argoverse.data_loading")
+    argoverse.data_loading = data_loading
+    for name, mod in [
+            ("argoverse", argoverse), ("argoverse.utils", utils_mod),
+            ("argoverse.utils.transform", transform_mod),
+            ("argoverse.utils.ply_loader", ply_mod),
+            ("argoverse.utils.camera_stats", camera_stats),
+            ("argoverse.data_loading", data_loading),
+            ("argoverse.data_loading.argoverse_tracking_loader", loader_mod)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    return ring_cams
+
+
+def _argo_label(x, y, cls="VEHICLE", heading_quat=(1.0, 0, 0, 0)):
+    from scipy.spatial.transform import Rotation
+
+    h, w, l = 1.5, 1.8, 4.0
+    t = np.array([x, y, 0.0])
+    rot = Rotation.from_quat([heading_quat[1], heading_quat[2],
+                              heading_quat[3], heading_quat[0]]).as_matrix()
+    # argoverse box frame: x forward (length), y left (width), z up (height)
+    xc = np.array([1, 1, 1, 1, -1, -1, -1, -1]) * l / 2
+    yc = np.array([1, -1, 1, -1, 1, -1, 1, -1]) * w / 2
+    zc = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * h / 2
+    corners = (rot @ np.vstack([xc, yc, zc])).T + t
+
+    lab = NS(label_class=cls, translation=t, quaternion=np.array(heading_quat),
+             height=h, width=w, length=l, track_id="t0")
+    lab.as_3d_bbox = lambda: corners
+    return lab
+
+
+def test_argo_process_schema(tmp_path, monkeypatch):
+    import cv2
+
+    ring_cams = _install_fake_argo(monkeypatch)
+    from tpu3d.convert import argo2kitti as a2k
+
+    # stereo pair: identical pinholes, baseline 0.3 m along ego -y (cam +x)
+    K = np.array([[ARGO_F, 0, ARGO_CU, 0], [0, ARGO_F, ARGO_CV, 0],
+                  [0, 0, 1, 0]], np.float64)
+    ext_l = np.eye(4)
+    ext_l[:3, :3] = PERM
+    ext_r = ext_l.copy()
+    ext_r[:3, 3] = [-0.3, 0, 0]
+    calibs = {"stereo_front_left": FakeArgoCalib(ext_l, K),
+              "stereo_front_right": FakeArgoCalib(ext_r, K)}
+    for cam in ring_cams:
+        calibs[cam] = FakeArgoCalib(ext_l, K)
+
+    # real image files for cv2 rectification / ring copies
+    img_dir = tmp_path / "raw"
+    img_dir.mkdir()
+    imgs = {}
+    for cam, (w_, h_) in (
+            [("stereo_front_left", (STEREO_W, STEREO_H)),
+             ("stereo_front_right", (STEREO_W, STEREO_H))]
+            + [(c, (RING_W, RING_H)) for c in ring_cams]):
+        p = str(img_dir / f"{cam}.png")
+        cv2.imwrite(p, np.random.RandomState(0).randint(
+            0, 255, (h_, w_, 3), np.uint8))
+        imgs[cam] = p
+
+    lidar = np.array([[5, 1, 0.5], [7, -1, 0.2]], np.float32)
+    dp = {"log_id": "log0", "frame_id": 0, "timestamp": 123,
+          "calibs": calibs, "lidar": lidar,
+          "pose": (np.array([1.0, 2.0, 3.0]), np.array([0.1, 0.2, 0.3])),
+          "labels": [_argo_label(10.0, 0.0),
+                     _argo_label(-10.0, 0.0),          # behind -> culled
+                     _argo_label(12.0, 1.0, cls="SIGN")]}  # unmapped -> culled
+    for cam in ("stereo_front_left", "stereo_front_right", *ring_cams):
+        dp[cam] = imgs[cam]
+
+    paths = a2k.build_kitti_paths(str(tmp_path / "kitti"))["train"]
+    for p in paths.values():
+        if "." not in os.path.basename(p):
+            os.makedirs(p, exist_ok=True)
+    a2k.process(["000000"], [dp], paths, NS(value=0), 1)
+
+    # --- rectified stereo pair + ring cameras written
+    assert os.path.exists(paths["left"] + "/000000.png")
+    assert os.path.exists(paths["right"] + "/000000.png")
+    for cam in ring_cams:
+        assert os.path.exists(paths[cam] + "/000000.png")
+        assert os.path.exists(paths[f"calib_{cam}"] + "/000000.txt")
+
+    # --- stereo calib: already-rectified pair -> R1 = I, P3 carries the
+    # -f*baseline disparity term (cv2.stereoRectify, CALIB_ZERO_DISPARITY)
+    calib = Calibration(paths["calib"] + "/000000.txt")
+    np.testing.assert_allclose(calib.P[0, 0], ARGO_F, atol=1e-6)
+    np.testing.assert_allclose(calib.V2C, ext_l[:3, :], atol=1e-8)
+    p3 = np.loadtxt(paths["calib"] + "/000000.txt", usecols=range(1, 13),
+                    max_rows=4)[3].reshape(3, 4)
+    np.testing.assert_allclose(p3[0, 3], -ARGO_F * 0.3, atol=1e-6)
+
+    # --- lidar: reflectance forced 1.0
+    pts = np.fromfile(paths["lidar"] + "/000000.bin",
+                      np.float32).reshape(-1, 4)
+    np.testing.assert_array_equal(pts[:, 3], 1.0)
+    np.testing.assert_allclose(pts[:, :3], lidar)
+
+    # --- labels vs both calibrations; behind/SIGN culled; hand-checked values
+    for label_dir in ("label_front", "label"):
+        objs = read_label(paths[label_dir] + "/000000.txt")
+        assert len(objs) == 1, label_dir
+        o = objs[0]
+        assert o.cls_type == "Car"
+        np.testing.assert_allclose([o.pos[0], o.pos[1], o.pos[2]],
+                                   [0.0, 0.75, 10.0], atol=5e-3)
+        assert abs(o.ry - (-np.pi / 2)) < 5e-3
+        np.testing.assert_allclose([o.h, o.w, o.l], [1.5, 1.8, 4.0],
+                                   atol=5e-3)
+
+    # --- pose file: 6 oxts values (translation + euler)
+    vals = np.loadtxt(paths["pose"] + "/000000.txt")
+    np.testing.assert_allclose(vals, [1, 2, 3, 0.1, 0.2, 0.3], atol=1e-7)
+
+
+# ===================================================== nusc / lyft fixtures
+
+def _scipy_R():
+    from scipy.spatial.transform import Rotation
+    return Rotation
+
+
+class FakeQuaternion:
+    """pyquaternion.Quaternion's used surface, backed by scipy Rotation."""
+
+    def __init__(self, wxyz=None, axis=None, angle=None, matrix=None):
+        R = _scipy_R()
+        if matrix is not None:
+            self._r = R.from_matrix(np.asarray(matrix, np.float64))
+        elif axis is not None:
+            self._r = R.from_rotvec(np.asarray(axis, np.float64)
+                                    / max(np.linalg.norm(axis), 1e-12)
+                                    * float(angle))
+        else:
+            w, x, y, z = wxyz
+            self._r = R.from_quat([x, y, z, w])
+
+    @property
+    def rotation_matrix(self):
+        return self._r.as_matrix()
+
+    @property
+    def transformation_matrix(self):
+        t = np.eye(4)
+        t[:3, :3] = self.rotation_matrix
+        return t
+
+    @property
+    def inverse(self):
+        q = FakeQuaternion([1, 0, 0, 0])
+        q._r = self._r.inv()
+        return q
+
+    def __mul__(self, other):
+        q = FakeQuaternion([1, 0, 0, 0])
+        q._r = self._r * other._r
+        return q
+
+
+def fake_transform_matrix(translation, rotation, inverse=False):
+    """nuscenes.utils.geometry_utils.transform_matrix semantics."""
+    tm = np.eye(4)
+    rot = rotation.rotation_matrix
+    t = np.asarray(translation, np.float64)
+    if inverse:
+        tm[:3, :3] = rot.T
+        tm[:3, 3] = -rot.T @ t
+    else:
+        tm[:3, :3] = rot
+        tm[:3, 3] = t
+    return tm
+
+
+class FakeNuBox:
+    """nuscenes.utils.data_classes.Box's used surface (center/wlh/orientation,
+    translate/rotate/corners/copy), matching the devkit's conventions: x along
+    length (forward), y along width, z along height."""
+
+    def __init__(self, center, wlh, orientation):
+        self.center = np.asarray(center, np.float64).copy()
+        self.wlh = np.asarray(wlh, np.float64).copy()
+        self.orientation = orientation
+
+    def copy(self):
+        import copy as _copy
+        return _copy.deepcopy(self)
+
+    def translate(self, v):
+        self.center = self.center + np.asarray(v, np.float64)
+
+    def rotate(self, q):
+        self.center = q.rotation_matrix @ self.center
+        self.orientation = q * self.orientation
+
+    @property
+    def rotation_matrix(self):
+        return self.orientation.rotation_matrix
+
+    def corners(self):
+        w, l, h = self.wlh
+        x = np.array([1, 1, 1, 1, -1, -1, -1, -1]) * l / 2
+        y = np.array([1, -1, -1, 1, 1, -1, -1, 1]) * w / 2
+        z = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * h / 2
+        return (self.rotation_matrix @ np.vstack([x, y, z])
+                + self.center.reshape(3, 1))
+
+
+class FakeKittiDB:
+    """KittiDB.box_nuscenes_to_kitti semantics (nuscenes devkit
+    nuscenes/utils/kitti.py): nu-lidar box -> kitti-lidar -> camera -> rect."""
+
+    _kitti_to_nu_lidar_inv = None
+
+    @staticmethod
+    def box_nuscenes_to_kitti(box, velo_to_cam_rot, velo_to_cam_trans, r0):
+        if FakeKittiDB._kitti_to_nu_lidar_inv is None:
+            FakeKittiDB._kitti_to_nu_lidar_inv = FakeQuaternion(
+                axis=(0, 0, 1), angle=np.pi / 2).inverse
+        box = box.copy()
+        box.rotate(FakeKittiDB._kitti_to_nu_lidar_inv)
+        box.rotate(velo_to_cam_rot)
+        box.translate(velo_to_cam_trans)
+        box.rotate(r0)
+        return box
+
+
+class FakeLidarPointCloud:
+    """5-float-per-point nuScenes .bin -> (4, N) points, .rotate on xyz."""
+
+    def __init__(self, points):
+        self.points = points
+
+    @classmethod
+    def from_file(cls, path):
+        raw = np.fromfile(str(path), np.float32).reshape(-1, 5)
+        return cls(raw[:, :4].T.copy())
+
+    def rotate(self, rot):
+        self.points[:3, :] = rot @ self.points[:3, :]
+
+
+class FakeNuscDB:
+    """Minimal table store shared by the fake NuScenes and Lyft SDKs."""
+
+    def __init__(self, dataroot, tables, samples, boxes_by_ann):
+        import pathlib
+
+        self.dataroot = str(dataroot)
+        self.data_path = pathlib.Path(dataroot)
+        self._tables = tables
+        self.sample = samples
+        self._boxes = boxes_by_ann
+
+    def get(self, table, token):
+        return self._tables[table][token]
+
+    def get_sample_data(self, sd_token, box_vis_level=None,
+                        selected_anntokens=None):
+        boxes = [self._boxes[t].copy() for t in (selected_anntokens or [])]
+        return None, boxes, None
+
+
+def _nusc_world(tmp_path, n_scenes=3, frames_per_scene=1):
+    """Construct the fake world: lidar at ego (0,0,1.8) identity rotation,
+    camera placed so the velo->cam chain lands exactly on the KITTI rotation
+    convention (EXPECTED_KITTI_ROT with negative y/z translation — reference
+    nusc2kitti.py:243-244 asserts), one Car 10 m ahead per frame."""
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+
+    from tpu3d.convert.nusc2kitti import EXPECTED_KITTI_ROT
+
+    rz_neg90 = Rotation.from_euler("z", -np.pi / 2).as_matrix()
+    r_e2c = EXPECTED_KITTI_ROT @ rz_neg90  # ego->cam rotation
+    t_lid = np.array([0.0, 0.0, 1.8])
+    t_cam = np.array([1.7, 0.1, 1.5])
+    q_cam = Rotation.from_matrix(r_e2c.T).as_quat()  # xyzw; sensor pose rot
+
+    tables = {"scene": {}, "log": {}, "sample_data": {},
+              "calibrated_sensor": {}, "sample_annotation": {},
+              "ego_pose": {}, "sensor": {}, "sample": {}}
+    samples, boxes = [], {}
+
+    tables["calibrated_sensor"]["cs_lid"] = {
+        "translation": t_lid.tolist(), "rotation": [1, 0, 0, 0],
+        "sensor_token": "sens_lid"}
+    tables["calibrated_sensor"]["cs_cam"] = {
+        "translation": t_cam.tolist(),
+        "rotation": [q_cam[3], q_cam[0], q_cam[1], q_cam[2]],
+        "camera_intrinsic": [[100.0, 0, 100.0], [0, 100.0, 60.0], [0, 0, 1]],
+        "sensor_token": "sens_cam"}
+    tables["sensor"]["sens_cam"] = {"channel": "CAM_FRONT"}
+    tables["sensor"]["sens_lid"] = {"channel": "LIDAR_TOP"}
+    tables["ego_pose"]["ep0"] = {"translation": [0, 0, 0],
+                                 "rotation": [1, 0, 0, 0]}
+
+    img_path = tmp_path / "raw_img.jpg"
+    Image.fromarray(np.zeros((120, 200, 3), np.uint8)).save(img_path)
+    lid_path = tmp_path / "raw_lid.bin"
+    pts5 = np.array([[5, 1, 0.5, 1.0, 0], [7, -1, 0.2, 1.0, 1]], np.float32)
+    pts5.tofile(lid_path)
+
+    idx = 0
+    for s in range(n_scenes):
+        scene_tok, log_tok = f"scene{s}", f"log{s}"
+        tables["scene"][scene_tok] = {"name": f"scene-{s:04d}",
+                                      "log_token": log_tok,
+                                      "token": scene_tok}
+        tables["log"][log_tok] = {"logfile": f"logfile-{s}"}
+        for f_i in range(frames_per_scene):
+            st = f"sample{idx}"
+            cam_sd, lid_sd, ann = f"sd_cam{idx}", f"sd_lid{idx}", f"ann{idx}"
+            tables["sample_data"][cam_sd] = {
+                "calibrated_sensor_token": "cs_cam",
+                "filename": img_path.name, "ego_pose_token": "ep0",
+                "width": 200, "height": 120}
+            tables["sample_data"][lid_sd] = {
+                "calibrated_sensor_token": "cs_lid",
+                "filename": lid_path.name, "ego_pose_token": "ep0"}
+            tables["sample_annotation"][ann] = {
+                "category_name": "vehicle.car"}
+            sample = {"token": st, "scene_token": scene_tok,
+                      "data": {"CAM_FRONT": cam_sd, "LIDAR_TOP": lid_sd},
+                      "anns": [ann]}
+            tables["sample"][st] = sample
+            samples.append(sample)
+            # car 10 m ahead (ego y-forward here), heading away from the cam
+            c_ego = np.array([0.0, 10.0, 0.75])
+            boxes[ann] = FakeNuBox(
+                c_ego - t_lid, [1.8, 4.0, 1.5],
+                FakeQuaternion(axis=(0, 0, 1), angle=np.pi / 2))
+            idx += 1
+    db = FakeNuscDB(tmp_path, tables, samples, boxes)
+    # expected camera-frame car center (independent computation)
+    c_cam_expected = r_e2c @ (np.array([0.0, 10.0, 0.75]) - t_cam)
+    return db, c_cam_expected
+
+
+def _install_fake_nusc(monkeypatch, db):
+    nusc_mod = types.ModuleType("nuscenes")
+    nusc_nusc = types.ModuleType("nuscenes.nuscenes")
+    nusc_nusc.NuScenes = lambda version=None, dataroot=None: db
+    utils_mod = types.ModuleType("nuscenes.utils")
+    dc = types.ModuleType("nuscenes.utils.data_classes")
+    dc.LidarPointCloud = FakeLidarPointCloud
+    geo = types.ModuleType("nuscenes.utils.geometry_utils")
+    geo.BoxVisibility = NS(NONE=0, ANY=1)
+    geo.transform_matrix = fake_transform_matrix
+    kitti_mod = types.ModuleType("nuscenes.utils.kitti")
+    kitti_mod.KittiDB = FakeKittiDB
+    splits = types.ModuleType("nuscenes.utils.splits")
+    splits.create_splits_logs = lambda split, nusc: [
+        v["logfile"] for v in nusc._tables["log"].values()]
+    eval_mod = types.ModuleType("nuscenes.eval")
+    det_mod = types.ModuleType("nuscenes.eval.detection")
+    det_utils = types.ModuleType("nuscenes.eval.detection.utils")
+    det_utils.category_to_detection_name = lambda cat: (
+        cat.split(".")[-1] if cat.startswith("vehicle.")
+        or cat.startswith("human.") else None)
+    pyq = types.ModuleType("pyquaternion")
+    pyq.Quaternion = FakeQuaternion
+    for name, mod in [
+            ("nuscenes", nusc_mod), ("nuscenes.nuscenes", nusc_nusc),
+            ("nuscenes.utils", utils_mod),
+            ("nuscenes.utils.data_classes", dc),
+            ("nuscenes.utils.geometry_utils", geo),
+            ("nuscenes.utils.kitti", kitti_mod),
+            ("nuscenes.utils.splits", splits),
+            ("nuscenes.eval", eval_mod),
+            ("nuscenes.eval.detection", det_mod),
+            ("nuscenes.eval.detection.utils", det_utils),
+            ("pyquaternion", pyq)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+def test_nusc_gt_to_kitti_schema(tmp_path, monkeypatch):
+    db, c_cam = _nusc_world(tmp_path, n_scenes=3, frames_per_scene=2)
+    _install_fake_nusc(monkeypatch, db)
+    from tpu3d.convert.nusc2kitti import KittiConverter
+
+    out = tmp_path / "nusc_kitti"
+    conv = KittiConverter(dataroot=str(tmp_path), nusc_kitti_dir=str(out),
+                          nusc_version="v1.0-fake", split="train",
+                          val_scene_count=1)
+    conv.nuscenes_gt_to_kitti()
+
+    # --- split: last scene -> val (reference :182-197)
+    train_ids = open(out / "train.txt").read().split()
+    val_ids = open(out / "val.txt").read().split()
+    assert train_ids == ["%06d" % i for i in range(4)]
+    assert val_ids == ["000004", "000005"]
+
+    # --- per-frame artifacts
+    for i in range(6):
+        name = "%06d" % i
+        assert (out / f"training/image_2/{name}.png").exists()
+        assert (out / f"training/velodyne/{name}.bin").exists()
+        calib = Calibration(str(out / f"training/calib/{name}.txt"))
+        # the KITTI rotation-convention assert inside the converter passed;
+        # double-check the parsed calib
+        np.testing.assert_allclose(
+            np.sign(np.round(calib.V2C[:3, :3])),
+            [[0, -1, 0], [0, 0, -1], [1, 0, 0]], atol=0)
+        objs = read_label(str(out / f"training/label_2/{name}.txt"))
+        assert len(objs) == 1
+        o = objs[0]
+        assert o.cls_type == "Car"
+        np.testing.assert_allclose(
+            [o.pos[0], o.pos[1], o.pos[2]], c_cam, atol=5e-3)
+        np.testing.assert_allclose([o.h, o.w, o.l], [1.5, 1.8, 4.0],
+                                   atol=5e-3)
+        assert abs(o.ry - (-np.pi / 2)) < 5e-3  # heading away -> ry = -pi/2
+
+    # --- lidar rotated into the KITTI frame: nu (x,y) -> kitti (y,-x)
+    pts = np.fromfile(out / "training/velodyne/000000.bin",
+                      np.float32).reshape(-1, 4)
+    np.testing.assert_allclose(pts[:, :3], [[1, -5, 0.5], [-1, -7, 0.2]],
+                               atol=1e-6)
+
+
+def test_nusc_kitti_res_to_nuscenes(tmp_path, monkeypatch):
+    db, _ = _nusc_world(tmp_path, n_scenes=2, frames_per_scene=1)
+    _install_fake_nusc(monkeypatch, db)
+    import json
+
+    from tpu3d.convert.nusc2kitti import KittiConverter
+
+    out = tmp_path / "nusc_kitti"
+    conv = KittiConverter(dataroot=str(tmp_path), nusc_kitti_dir=str(out),
+                          nusc_version="v1.0-fake", split="train",
+                          val_scene_count=1)
+    res = tmp_path / "results"
+    res.mkdir()
+    (res / "000000.txt").write_text(
+        "Car 0.0 0 -1.57 10.0 20.0 30.0 40.0 "
+        "1.50 1.80 4.00 -1.70 0.75 9.90 -1.57 0.9\n")
+    (res / "000001.txt").write_text("")
+    out_json = tmp_path / "subm.json"
+    conv.kitti_res_to_nuscenes(str(res), str(out_json))
+    subm = json.loads(out_json.read_text())
+    assert set(subm["results"].keys()) == {"sample0", "sample1"}
+    det = subm["results"]["sample0"][0]
+    assert det["detection_name"] == "car"
+    assert det["detection_score"] == pytest.approx(0.9)
+    np.testing.assert_allclose(det["translation"], [-1.7, 0.75, 9.9])
+    np.testing.assert_allclose(det["size"], [1.8, 4.0, 1.5])  # w, l, h
+    assert subm["results"]["sample1"] == []
+
+
+def _install_fake_lyft(monkeypatch, db):
+    sdk = types.ModuleType("lyft_dataset_sdk")
+    lyftdataset = types.ModuleType("lyft_dataset_sdk.lyftdataset")
+    lyftdataset.LyftDataset = lambda data_path=None, json_path=None: db
+    utils_mod = types.ModuleType("lyft_dataset_sdk.utils")
+    dc = types.ModuleType("lyft_dataset_sdk.utils.data_classes")
+    dc.LidarPointCloud = FakeLidarPointCloud
+    geo = types.ModuleType("lyft_dataset_sdk.utils.geometry_utils")
+    geo.transform_matrix = fake_transform_matrix
+    kitti_mod = types.ModuleType("lyft_dataset_sdk.utils.kitti")
+    kitti_mod.KittiDB = FakeKittiDB
+    pyq = types.ModuleType("pyquaternion")
+    pyq.Quaternion = FakeQuaternion
+    for name, mod in [
+            ("lyft_dataset_sdk", sdk),
+            ("lyft_dataset_sdk.lyftdataset", lyftdataset),
+            ("lyft_dataset_sdk.utils", utils_mod),
+            ("lyft_dataset_sdk.utils.data_classes", dc),
+            ("lyft_dataset_sdk.utils.geometry_utils", geo),
+            ("lyft_dataset_sdk.utils.kitti", kitti_mod),
+            ("pyquaternion", pyq)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+def test_lyft_to_kitti_schema(tmp_path, monkeypatch):
+    """Lyft conversion with DIFFERENT lidar/camera ego poses, so the 4-step
+    lid->ego->world->ego->cam chain (reference lyft2kitti.py:223-235) is
+    exercised for real; expected camera-frame location computed independently
+    by composing the same 4x4s."""
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+
+    from tpu3d.convert.nusc2kitti import EXPECTED_KITTI_ROT
+
+    rz_neg90 = Rotation.from_euler("z", -np.pi / 2).as_matrix()
+    r_e2c = EXPECTED_KITTI_ROT @ rz_neg90
+    t_lid = np.array([0.0, 0.0, 1.8])
+    t_cam = np.array([1.7, 0.1, 1.5])
+    q_cam = Rotation.from_matrix(r_e2c.T).as_quat()
+    ego_cam_t = np.array([0.0, -0.3, 0.0])  # vehicle moved between captures
+
+    tables = {"sample_data": {}, "calibrated_sensor": {}, "ego_pose": {},
+              "sensor": {}, "sample_annotation": {}, "sample": {}}
+    tables["calibrated_sensor"]["cs_lid"] = {
+        "translation": t_lid.tolist(), "rotation": [1, 0, 0, 0],
+        "sensor_token": "sens_lid"}
+    tables["calibrated_sensor"]["cs_cam"] = {
+        "translation": t_cam.tolist(),
+        "rotation": [q_cam[3], q_cam[0], q_cam[1], q_cam[2]],
+        "camera_intrinsic": [[100.0, 0, 100.0], [0, 100.0, 60.0], [0, 0, 1]],
+        "sensor_token": "sens_cam"}
+    tables["sensor"]["sens_cam"] = {"channel": "CAM_FRONT"}
+    tables["sensor"]["sens_lid"] = {"channel": "LIDAR_TOP"}
+    tables["ego_pose"]["ep_lid"] = {"translation": [0, 0, 0],
+                                    "rotation": [1, 0, 0, 0]}
+    tables["ego_pose"]["ep_cam"] = {"translation": ego_cam_t.tolist(),
+                                    "rotation": [1, 0, 0, 0]}
+
+    img_path = tmp_path / "cam.jpg"
+    Image.fromarray(np.zeros((120, 200, 3), np.uint8)).save(img_path)
+    lid_path = tmp_path / "lid.bin"
+    np.array([[5, 1, 0.5, 1.0, 0]], np.float32).tofile(lid_path)
+
+    tables["sample_data"]["sd_cam0"] = {
+        "calibrated_sensor_token": "cs_cam", "filename": img_path.name,
+        "ego_pose_token": "ep_cam", "width": 200, "height": 120}
+    tables["sample_data"]["sd_lid0"] = {
+        "calibrated_sensor_token": "cs_lid", "filename": lid_path.name,
+        "ego_pose_token": "ep_lid"}
+    tables["sample_annotation"]["ann0"] = {"category_name": "car"}
+    sample = {"token": "tok0",
+              "data": {"CAM_FRONT": "sd_cam0", "LIDAR_TOP": "sd_lid0"},
+              "anns": ["ann0"]}
+    tables["sample"]["tok0"] = sample
+
+    c_world = np.array([0.0, 10.0, 0.75])
+    boxes = {"ann0": FakeNuBox(c_world - t_lid, [1.8, 4.0, 1.5],
+                               FakeQuaternion(axis=(0, 0, 1),
+                                              angle=np.pi / 2))}
+    db = FakeNuscDB(tmp_path, tables, [sample], boxes)
+    _install_fake_lyft(monkeypatch, db)
+
+    from tpu3d.convert.lyft2kitti import KittiConverter
+
+    out = tmp_path / "lyft_kitti"
+    conv = KittiConverter(lyft_dataroot=str(tmp_path),
+                          table_folder=str(tmp_path), store_dir=str(out),
+                          parallel_n_jobs=2)
+    conv.nuscenes_gt_to_kitti()
+
+    assert open(out / "train.txt").read().split() == ["000000"]
+    assert (out / "training/image_2/000000.png").exists()
+
+    # independent expectation: compose the same 4 transforms by hand
+    lid_to_ego = fake_transform_matrix(t_lid, FakeQuaternion([1, 0, 0, 0]))
+    ego_to_world = fake_transform_matrix(np.zeros(3),
+                                         FakeQuaternion([1, 0, 0, 0]))
+    world_to_ego2 = fake_transform_matrix(
+        ego_cam_t, FakeQuaternion([1, 0, 0, 0]), inverse=True)
+    ego2_to_cam = fake_transform_matrix(
+        t_cam, FakeQuaternion([q_cam[3], q_cam[0], q_cam[1], q_cam[2]]),
+        inverse=True)
+    full = ego2_to_cam @ world_to_ego2 @ ego_to_world @ lid_to_ego
+    c_lid = c_world - t_lid
+    c_cam = (full @ np.append(c_lid, 1.0))[:3]
+
+    objs = read_label(str(out / "training/label_2/000000.txt"))
+    assert len(objs) == 1
+    o = objs[0]
+    assert o.cls_type == "Car"
+    np.testing.assert_allclose([o.pos[0], o.pos[1], o.pos[2]], c_cam,
+                               atol=5e-3)
+    np.testing.assert_allclose([o.h, o.w, o.l], [1.5, 1.8, 4.0], atol=5e-3)
+    assert abs(o.ry - (-np.pi / 2)) < 5e-3
+
+    calib = Calibration(str(out / "training/calib/000000.txt"))
+    np.testing.assert_allclose(calib.V2C, (full @ fake_transform_matrix(
+        np.zeros(3), FakeQuaternion(axis=(0, 0, 1), angle=np.pi / 2)))[:3],
+        atol=1e-9)
+
+
+def test_nusc_render_kitti(tmp_path, monkeypatch):
+    """render_kitti writes camera + lidar-BEV pngs for every converted frame
+    (reference nusc2kitti.py:357-381 — the converters' visual checking tool)."""
+    db, _ = _nusc_world(tmp_path, n_scenes=2, frames_per_scene=1)
+    _install_fake_nusc(monkeypatch, db)
+    from tpu3d.convert.nusc2kitti import KittiConverter
+
+    out = tmp_path / "nusc_kitti"
+    conv = KittiConverter(dataroot=str(tmp_path), nusc_kitti_dir=str(out),
+                          nusc_version="v1.0-fake", split="train",
+                          val_scene_count=1)
+    conv.nuscenes_gt_to_kitti()
+    render_dir = conv.render_kitti(render_2d=False, max_frames=2)
+    for name in ("000000", "000001"):
+        for view in ("camera", "lidar"):
+            p = os.path.join(render_dir, f"{name}_{view}.png")
+            assert os.path.exists(p) and os.path.getsize(p) > 0
+    conv.render_kitti(render_2d=True, max_frames=1)

@@ -113,7 +113,7 @@ def rectify_stereo_pair(left_src, right_src, calib_l, calib_r, left_dst,
     left_img, right_img = cv2.imread(left_src), cv2.imread(right_src)
     calib_l, calib_r = copy.deepcopy(calib_l), copy.deepcopy(calib_r)
     extrinsic = calib_r.extrinsic @ np.linalg.inv(calib_l.extrinsic)
-    R, T = extrinsic[:3, :3], extrinsic[:3, 3]
+    R, T = extrinsic[:3, :3], extrinsic[:3, 3].reshape(3, 1)
     dist = np.zeros(4)
     R1, R2, P1, P2, *_ = cv2.stereoRectify(
         cameraMatrix1=calib_l.K[:3, :3], distCoeffs1=dist,

@@ -222,6 +222,76 @@ class KittiConverter:
         uv = hom[:, :2] / hom[:, 2:3]
         return clip_bbox_truncation(uv, imsize[0], imsize[1])
 
+    def render_kitti(self, render_2d: bool = False, max_frames: int = 10,
+                     split_dir: str = "training") -> str:
+        """Render converted frames for eyeballing — camera view (image +
+        projected 3D wireframes, or 2D boxes with render_2d) and a lidar BEV
+        view — into <out>/render (reference: nusc2kitti.py:357-381
+        render_kitti; devkit-free here: our own Calibration/read_label +
+        matplotlib do the drawing, so it also works for any KITTI dir)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..kitti.boxes import corners_from_boxes3d
+        from ..kitti.calibration import Calibration
+        from ..kitti.object3d import read_label
+
+        base = os.path.join(self.nusc_kitti_dir, split_dir)
+        render_dir = os.path.join(self.nusc_kitti_dir, "render")
+        os.makedirs(render_dir, exist_ok=True)
+        ids = sorted(f[:-4] for f in os.listdir(os.path.join(base, "label_2"))
+                     if f.endswith(".txt"))[:max_frames]
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+                 (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+        for name in ids:
+            calib = Calibration(os.path.join(base, "calib", f"{name}.txt"))
+            objs = read_label(os.path.join(base, "label_2", f"{name}.txt"))
+            # camera view
+            fig, ax = plt.subplots(figsize=(8, 5))
+            img_path = os.path.join(base, "image_2", f"{name}.png")
+            if os.path.exists(img_path):
+                try:
+                    from PIL import Image
+
+                    ax.imshow(np.asarray(Image.open(img_path)))
+                except Exception:
+                    pass
+            for o in objs:
+                if render_2d:
+                    x1, y1, x2, y2 = o.box2d
+                    ax.add_patch(plt.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                               fill=False, color="lime"))
+                    continue
+                box7 = np.array([[*o.pos, o.h, o.w, o.l, o.ry]], np.float32)
+                corners = corners_from_boxes3d(box7)[0]
+                pts2, _ = calib.rect_to_img(corners)
+                for a, b in edges:
+                    ax.plot([pts2[a, 0], pts2[b, 0]], [pts2[a, 1], pts2[b, 1]],
+                            color="lime", linewidth=1)
+            ax.set_title(f"{name} camera")
+            fig.savefig(os.path.join(render_dir, f"{name}_camera.png"))
+            plt.close(fig)
+            # lidar BEV view
+            fig, ax = plt.subplots(figsize=(6, 6))
+            velo_path = os.path.join(base, "velodyne", f"{name}.bin")
+            if os.path.exists(velo_path):
+                pts = np.fromfile(velo_path, np.float32).reshape(-1, 4)
+                rect = calib.project_velo_to_rect(pts[:, :3])
+                ax.scatter(rect[:, 0], rect[:, 2], s=0.5, c="gray")
+            for o in objs:
+                box7 = np.array([[*o.pos, o.h, o.w, o.l, o.ry]], np.float32)
+                c = corners_from_boxes3d(box7)[0]
+                loop = [0, 1, 2, 3, 0]
+                ax.plot(c[loop, 0], c[loop, 2], color="red", linewidth=1)
+            ax.set_xlabel("x (m)")
+            ax.set_ylabel("z (m)")
+            ax.set_title(f"{name} lidar BEV")
+            fig.savefig(os.path.join(render_dir, f"{name}_lidar.png"))
+            plt.close(fig)
+        return render_dir
+
     def kitti_res_to_nuscenes(self, result_root: str, out_json: str,
                               meta: dict | None = None) -> None:
         """Back-convert KITTI result label files to a nuScenes submission json
@@ -240,7 +310,8 @@ class KittiConverter:
             results[token] = [{
                 "sample_token": token,
                 "translation": anno["location"][k].tolist(),
-                "size": anno["dimensions"][k][[1, 2, 0]].tolist(),
+                # anno dimensions are lhw; nuScenes submissions want wlh
+                "size": anno["dimensions"][k][[2, 0, 1]].tolist(),
                 "rotation_y": float(anno["rotation_y"][k]),
                 "detection_name": str(anno["name"][k]).lower(),
                 "detection_score": float(anno["score"][k]),
