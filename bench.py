@@ -64,10 +64,15 @@ def main():
     rng = np.random.default_rng(0)
     pts = np.asarray(rng.uniform([-30, -1, 0], [30, 3, 70], size=(batch, n, 3)),
                      np.float32)
-    variables = model.init(
+    # init under jit — eager init would execute the whole forward op-by-op
+    # through the device tunnel (minutes), and every Pallas call site would
+    # trigger its own eager Mosaic compile
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "target": jax.random.PRNGKey(2)},
-        {"pts_input": pts[:1]}, train=False)
+        {"pts_input": pts[:1]})
 
     # reduce outputs to one scalar on device so each iteration syncs with a
     # 4-byte host pull (block_until_ready does not reliably block through the
@@ -83,6 +88,15 @@ def main():
           flush=True)
 
     n_iters = 12
+    # single-stream: one batch at a time, sync every call (latency-bound —
+    # includes the ~50 ms/iter tunnel dispatch+sync overhead)
+    t0 = time.time()
+    for _ in range(n_iters):
+        float(infer(variables, pts))
+    single_stream = batch * n_iters / (time.time() - t0)
+    print(f"single-stream: {single_stream:.2f} scenes/s", file=sys.stderr,
+          flush=True)
+
     # throughput measurement: dispatch all iterations asynchronously (as a
     # production serving loop would — the device queue stays full) and sync
     # once at the end; per-call sync would add ~50 ms of tunnel dispatch

@@ -382,3 +382,59 @@ def test_group_points_onehot_path(rng):
     ref = np.stack([bf16_exact[b][flat[b]] for b in range(2)]).reshape(
         2, 8, 4, 32)
     np.testing.assert_array_equal(fast, ref.astype(np.float32))
+
+
+def test_three_nn_pallas_interpret_exact(rng):
+    """The Pallas 3-NN kernel (interpret mode) must be bit-exact vs the
+    numpy oracle — it replaced the 0.99-recall approx_min_k formulation
+    (interpolate_gpu.cu:9-70 is exact; so are we now)."""
+    from tpu3d.ops import interpolate
+
+    for (B, M, N) in [(2, 256, 100), (2, 128, 64), (1, 384, 1024)]:
+        u = rng.normal(size=(B, M, 3)).astype(np.float32) * 20
+        k = rng.normal(size=(B, N, 3)).astype(np.float32) * 20
+        idx = np.asarray(interpolate._three_nn_idx_pallas(
+            jnp.asarray(u), jnp.asarray(k), interpret=True))
+        _, i_ref = interpolate.three_nn_numpy(u, k)
+        np.testing.assert_array_equal(idx, i_ref)
+
+
+def test_nearest_k_pallas_interpret(rng):
+    """The fused nearest-k kernel (interpret mode): returned distances must be
+    the true distances of the returned indices (exact f32 VPU computation, up
+    to summation order), rows must be sorted nearest-first, and recall vs the
+    exact k-NN must be high (lane-collision approximation, same family as
+    approx_min_k)."""
+    from tpu3d.ops.grouping import _nearest_k_pallas
+
+    for (B, M, N, K) in [(2, 256, 1024, 32), (1, 128, 640, 16),
+                         (2, 200, 256, 8)]:
+        c = (rng.normal(size=(B, M, 3)) * 20).astype(np.float32)
+        p = (rng.normal(size=(B, N, 3)) * 20).astype(np.float32)
+        d2, idx = _nearest_k_pallas(jnp.asarray(c), jnp.asarray(p), K,
+                                    interpret=True)
+        d2, idx = np.asarray(d2), np.asarray(idx)
+        full = ((c[:, :, None, :] - p[:, None, :, :]) ** 2).sum(-1)
+        true_d2 = np.take_along_axis(full, idx, axis=2)
+        np.testing.assert_allclose(d2, true_d2, rtol=1e-6)
+        assert (np.diff(d2, axis=2) >= 0).all()
+        oidx = np.argsort(full, axis=2, kind="stable")[:, :, :K]
+        recall = np.mean([len(set(idx[b, m]) & set(oidx[b, m])) / K
+                          for b in range(B) for m in range(M)])
+        assert recall > 0.93, recall
+
+
+def test_ball_query_from_nearest_matches_ball_query(rng):
+    """Prefix + radius filter of nearest-k candidates == the nearest-method
+    ball query (shared-candidate path used by the MSG SA layers)."""
+    from tpu3d.ops.grouping import ball_query_from_nearest, nearest_k
+
+    c = (rng.normal(size=(2, 64, 3)) * 2).astype(np.float32)
+    p = (rng.normal(size=(2, 512, 3)) * 2).astype(np.float32)
+    d2, idx = nearest_k(jnp.asarray(c), jnp.asarray(p), 32)
+    for radius, nsample in [(0.5, 16), (1.0, 32), (0.1, 8)]:
+        got = np.asarray(ball_query_from_nearest(d2, idx, radius, nsample,
+                                                 512))
+        ref = np.asarray(ops.ball_query(jnp.asarray(c), jnp.asarray(p),
+                                        radius, nsample))
+        np.testing.assert_array_equal(got, ref)

@@ -121,6 +121,11 @@ def _default_cfg() -> AttrDict:
         OPTIMIZER="adam", WEIGHT_DECAY=0.0, MOMENTUM=0.9,
         MOMS=[0.95, 0.85], DIV_FACTOR=10.0, PCT_START=0.4,
         GRAD_NORM_CLIP=1.0,
+        # rematerialize the PointNet++ backbone in the backward pass
+        # (jax.checkpoint): trades ~1/3 more FLOPs for dropping the grouped
+        # SA activations from memory — enables larger per-chip batches /
+        # point budgets when HBM-bound
+        REMAT=False,
         RPN_PRE_NMS_TOP_N=12000, RPN_POST_NMS_TOP_N=2048,
         RPN_NMS_THRESH=0.85, RPN_DISTANCE_BASED_PROPOSE=True,
     )

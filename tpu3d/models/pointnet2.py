@@ -26,6 +26,7 @@ from ..ops import (
     three_interpolate,
     three_nn,
 )
+from ..ops.grouping import ball_query_from_nearest, nearest_k
 
 
 class BatchNorm(nn.Module):
@@ -116,15 +117,62 @@ class PointnetSAModuleMSG(nn.Module):
             else:
                 new_xyz = None
 
+        # one nearest-K candidate search shared by every scale: the radii of an
+        # MSG level query the same (centers, points) pair, and nearest-first
+        # ordering means each scale's ball query is a prefix + radius filter
+        # of the K = max(nsample) candidate list (K-NN computed once via the
+        # fused Pallas kernel on TPU; reference runs ball_query per radius)
+        shared = None
+        if self.npoint is not None and len(self.radii) > 1:
+            k_max = max(self.nsamples)
+            shared = nearest_k(new_xyz, xyz, k_max)
+
         scale_features = []
         for i, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
             if self.npoint is not None:
-                chunk = self.query_chunk
-                if chunk is not None and self.npoint % chunk != 0:
-                    chunk = None
-                idx = ball_query(new_xyz, xyz, radius, nsample,
-                                 query_chunk=chunk)
+                if shared is not None:
+                    idx = ball_query_from_nearest(
+                        shared[0], shared[1], radius, nsample, xyz.shape[1])
+                else:
+                    chunk = self.query_chunk
+                    if chunk is not None and self.npoint % chunk != 0:
+                        chunk = None
+                    idx = ball_query(new_xyz, xyz, radius, nsample,
+                                     query_chunk=chunk)
+                if (features is not None
+                        and self.npoint * nsample > xyz.shape[1]):
+                    # pre-group first layer: Dense(concat(xyz_rel, f)) ==
+                    # Dense_xyz(xyz_rel) + Dense_f(f), and the feature half
+                    # only needs the N distinct points, not the M*S grouped
+                    # copies — at the RCNN SA shapes (128 centers x 64
+                    # samples from 512 points) this cuts the dominant
+                    # first-layer matmul FLOPs ~16x. Exact same
+                    # pre-activations, so BN statistics are unchanged.
+                    pre = nn.Dense(mlp[0], use_bias=not self.bn,
+                                   kernel_init=nn.initializers.he_normal(),
+                                   dtype=self.dtype,
+                                   name=f"mlp_{i}_pre_feat")(features)
+                    x = group_points(pre, idx)  # (B, M, S, mlp[0])
+                    if self.use_xyz:
+                        grouped_xyz = (group_points(xyz, idx)
+                                       - new_xyz[:, :, None, :])
+                        x = x + nn.Dense(
+                            mlp[0], use_bias=False,
+                            kernel_init=nn.initializers.he_normal(),
+                            dtype=self.dtype,
+                            name=f"mlp_{i}_pre_xyz")(grouped_xyz)
+                    if self.bn:
+                        x = BatchNorm(name=f"mlp_{i}_pre_bn")(
+                            x, use_running_average=not train,
+                            momentum=bn_momentum)
+                    x = nn.relu(x)
+                    out = x if len(mlp) == 1 else SharedMLP(
+                        mlp[1:], bn=self.bn, dtype=self.dtype,
+                        name=f"mlp_{i}_rest")(x, train=train,
+                                              bn_momentum=bn_momentum)
+                    scale_features.append(jnp.max(out, axis=2))
+                    continue
                 grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
                 grouped = grouped_xyz
                 if features is not None:

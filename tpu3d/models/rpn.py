@@ -67,14 +67,20 @@ class RPN(nn.Module):
         # f32 — box decode stays full precision). cfg.BF16_INFERENCE gates it.
         dt = (jnp.bfloat16
               if (not train and bool(c.get("BF16_INFERENCE", False))) else None)
-        backbone_xyz, backbone_features = Pointnet2MSG(
+        backbone_cls = Pointnet2MSG
+        if train and bool(c.TRAIN.get("REMAT", False)):
+            # rematerialized backbone: the backward pass recomputes the SA/FP
+            # activations instead of keeping the (B, M, nsample, C) grouped
+            # tensors alive (jax.checkpoint; cfg.TRAIN.REMAT)
+            backbone_cls = nn.remat(Pointnet2MSG, static_argnums=(2,))
+        backbone_xyz, backbone_features = backbone_cls(
             npoints=tuple(sa.NPOINTS),
             radii=tuple(tuple(r) for r in sa.RADIUS),
             nsamples=tuple(tuple(s) for s in sa.NSAMPLE),
             sa_mlps=tuple(tuple(tuple(m) for m in ms) for ms in sa.MLPS),
             fp_mlps=tuple(tuple(m) for m in c.RPN.FP_MLPS),
             use_xyz=True, bn=c.RPN.USE_BN, dtype=dt, name="backbone")(
-                pts_input, train=train, bn_momentum=bn_momentum)
+                pts_input, train, bn_momentum)
 
         # focal init puts prior fg prob at 1% (reference: rpn.py:61-64)
         cls_bias = (-float(np.log((1 - 0.01) / 0.01))

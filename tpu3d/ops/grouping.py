@@ -18,11 +18,149 @@ fast path).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
+                      interpret: bool = False):
+    """(B, M, 3) × (B, N, 3) -> ((B, M, k) d2, (B, M, k) idx), nearest first.
+
+    Fused Pallas kernel; the (TILE_M, N) distance matrix is never
+    materialized anywhere: a fori_loop sweeps W-point blocks, computing one
+    (TILE_M, W) distance slab on the VPU and folding it into a per-lane
+    running min (value + block id), then k cheap iterative picks select from
+    the (TILE_M, W) candidates. Working set is ~6 (TILE_M, W) arrays — far
+    under the 16MB scoped-vmem limit (the earlier whole-matrix formulation
+    blew it at the SA_1 shape). The earlier approx_min_k formulation also
+    round-tripped the distance matrix through HBM (16.6 ms at the RPN SA_0
+    shape).
+
+    Approximation (same family as approx_min_k): two true nearest neighbors
+    whose point indices are congruent mod W collide and only the nearer
+    survives; with W=512 and k<=64 the expected miss is ~1 per row, and any
+    replacement candidate is still the next-nearest in its lane — harmless for
+    ball-query semantics, where which k in-radius points are returned is
+    arbitrary (ball_query_gpu.cu takes the first k in memory order).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, M, _ = centers.shape
+    N = pts.shape[1]
+    NPAD = _round_up(N, 128)
+    W = next(w for w in (512, 256, 128) if NPAD % w == 0)
+    NB = NPAD // W
+    tile_m = min(M, max(8, (4 * 1024 * 1024 // (6 * W * 4)) // 128 * 128))
+    while M % tile_m != 0:  # largest divisor of M under the VMEM budget
+        tile_m -= 1
+    c_t = jnp.transpose(centers, (0, 2, 1))  # (B, 3, M)
+    pts_t = jnp.transpose(pts, (0, 2, 1))  # (B, 3, N)
+    if NPAD != N:  # pad far away so padded columns never win
+        pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, NPAD - N)),
+                        constant_values=1e9)
+
+    def kernel(c_ref, p_ref, d_out, i_out):
+        # exact VPU distances: the u²+k²−2u·k MXU form loses ~|u||k|·eps_bf16
+        # to cancellation (KITTI coords reach 70 m, d² thresholds are 0.01 m²)
+        ux = c_ref[0, 0][:, None]  # (tile_m, 1)
+        uy = c_ref[0, 1][:, None]
+        uz = c_ref[0, 2][:, None]
+
+        def block_d2(b):
+            px = p_ref[0, 0, pl.ds(b * W, W)][None, :]  # (1, W)
+            py = p_ref[0, 1, pl.ds(b * W, W)][None, :]
+            pz = p_ref[0, 2, pl.ds(b * W, W)][None, :]
+            return (ux - px) ** 2 + (uy - py) ** 2 + (uz - pz) ** 2
+
+        def sweep(b, carry):
+            cand_d, cand_blk = carry
+            m = block_d2(b)
+            upd = m < cand_d  # strict: ties keep the earlier (lower) block
+            return (jnp.where(upd, m, cand_d),
+                    jnp.where(upd, b, cand_blk))
+
+        init = (jnp.full((tile_m, W), jnp.inf, jnp.float32),
+                jnp.zeros((tile_m, W), jnp.int32))
+        cand_d, cand_blk = jax.lax.fori_loop(0, NB, sweep, init)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, W), 1)
+        cand_i = cand_blk * W + lane
+        out_rows = jax.lax.broadcasted_iota(jnp.int32, (k, tile_m), 0)
+
+        def pick(s, cand_d):
+            cmin = jnp.min(cand_d, axis=1, keepdims=True)  # (tile_m, 1)
+            sel_lane = jnp.min(jnp.where(cand_d == cmin, lane, W), axis=1)
+            sel = lane == sel_lane[:, None]
+            idx_s = jnp.sum(jnp.where(sel, cand_i, 0), axis=1)
+            d_out[0] = jnp.where(out_rows == s, cmin[:, 0][None, :], d_out[0])
+            i_out[0] = jnp.where(out_rows == s, idx_s[None, :], i_out[0])
+            return jnp.where(sel, jnp.inf, cand_d)
+
+        d_out[0] = jnp.zeros((k, tile_m), jnp.float32)
+        i_out[0] = jnp.zeros((k, tile_m), jnp.int32)
+        jax.lax.fori_loop(0, k, pick, cand_d)
+
+    d_o, i_o = pl.pallas_call(
+        kernel,
+        grid=(B, M // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_m), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, NPAD), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k, tile_m), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tile_m), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, M), jnp.int32),
+        ),
+        interpret=interpret,
+    )(c_t, pts_t)
+    return (jnp.transpose(d_o, (0, 2, 1)), jnp.transpose(i_o, (0, 2, 1)))
+
+
+def nearest_k(centers: jnp.ndarray, pts: jnp.ndarray, k: int):
+    """(B, M, 3) × (B, N, 3) -> ((B, M, k) squared dists, (B, M, k) idx),
+    nearest first. Dispatches to the fused Pallas kernel on TPU for large
+    problems; otherwise one approx_min_k (exact on CPU)."""
+    B, M, _ = centers.shape
+    N = pts.shape[1]
+    if (jax.default_backend() == "tpu" and M * N >= (1 << 20)
+            and N % 128 == 0 and k <= 64
+            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
+        return _nearest_k_pallas(centers, pts, k)
+    d2 = jnp.sum((centers[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1)
+    if N < k:
+        d2 = jnp.concatenate(
+            [d2, jnp.full((B, M, k - N), jnp.inf, d2.dtype)], axis=2)
+    min_d2, idx = jax.lax.approx_min_k(d2, k)
+    return min_d2, idx.astype(jnp.int32)
+
+
+def ball_query_from_nearest(d2: jnp.ndarray, idx: jnp.ndarray, radius: float,
+                            nsample: int, n_pts: int) -> jnp.ndarray:
+    """Derive a ball-query result from nearest-k candidates: keep the first
+    ``nsample`` candidates inside the radius, pad short rows with the first
+    hit, all-miss rows are 0 (CUDA fill parity). Because candidates are
+    nearest-first, the hit mask is a prefix, matching _ball_query_one."""
+    d2, idx = d2[..., :nsample], idx[..., :nsample]
+    hit = (d2 < radius * radius) & (idx < n_pts)
+    first = jnp.where(hit[..., 0:1], idx[..., 0:1], 0)
+    return jnp.where(hit, idx, first).astype(jnp.int32)
 
 
 def _ball_query_one(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
@@ -78,6 +216,12 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
     See _ball_query_one for the ``method`` semantics.
     """
     B, M, _ = centers.shape
+    N = pts.shape[1]
+    if (method == "nearest" and jax.default_backend() == "tpu"
+            and M * N >= (1 << 20) and N % 128 == 0 and nsample <= 64
+            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
+        d2, idx = _nearest_k_pallas(centers, pts, nsample)
+        return ball_query_from_nearest(d2, idx, radius, nsample, N)
 
     def per_batch(c, p):
         if query_chunk is None or query_chunk >= M:

@@ -29,16 +29,31 @@ def _pool_one(pts: jnp.ndarray, feats: jnp.ndarray, boxes: jnp.ndarray,
     n = pts.shape[0]
     inside = points_in_boxes3d(pts, boxes).T  # (M, N)
     # scatter-free first-k selection (see grouping._ball_query_one): index keys
-    # + one top_k give the first num_sampled interior points in index order
+    # + one min-k give the first num_sampled interior points in index order
     iota = jnp.arange(n, dtype=jnp.int32)
     keys = jnp.where(inside, iota[None, :], n)
     if n < num_sampled:  # fewer points than slots: pad with sentinels
         keys = jnp.concatenate(
             [keys, jnp.full((keys.shape[0], num_sampled - n), n, jnp.int32)],
             axis=1)
-    neg_keys, _ = jax.lax.top_k(-keys, num_sampled)
-    slots = jnp.clip(-neg_keys, 0, n - 1).astype(jnp.int32)
-    counts = jnp.sum(inside, axis=1)  # (M,)
+    if jax.default_backend() == "tpu" and n >= 4096:
+        # approx_min_k (PartialReduce) replaces the full top_k sort — several
+        # times faster at the eval shape (100 ROIs x 16384 pts x k=512).
+        # Which interior points fill the 512 slots is arbitrary (the CUDA
+        # kernel's first-k-in-memory-order is pure convenience,
+        # roipool3d_kernel.cu:123-162), so an occasional lane-collision miss
+        # only swaps one interior point for another. counts come from the
+        # *selected* keys so the wraparound fill never touches a sentinel;
+        # a box with any interior point always yields its global-min key, so
+        # the empty flag stays exact.
+        sel, _ = jax.lax.approx_min_k(keys.astype(jnp.float32), num_sampled)
+        sel = sel.astype(jnp.int32)  # ascending, sentinels (=n) sort last
+        counts = jnp.sum(sel < n, axis=1)  # (M,)
+        slots = jnp.clip(sel, 0, n - 1)
+    else:
+        neg_keys, _ = jax.lax.top_k(-keys, num_sampled)
+        slots = jnp.clip(-neg_keys, 0, n - 1).astype(jnp.int32)
+        counts = jnp.sum(inside, axis=1)  # (M,)
     empty = counts == 0
     # wraparound duplicate fill: slot k reads slot k % count
     k = jnp.arange(num_sampled)[None, :]

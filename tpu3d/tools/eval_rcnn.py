@@ -220,19 +220,13 @@ def eval_one_epoch_rpn(args, model, variables, loader, result_dir, logger):
         os.makedirs(seg_output_dir, exist_ok=True)
 
     def rpn_infer(variables, pts_input):
+        # proposal generation + seg happen inside the model's RPN-eval branch
+        # (point_rcnn.py), the same jitted path joint mode uses
         out = model.apply(variables, {"pts_input": pts_input}, train=False)
-        rpn_scores_raw = out["rpn_cls"][:, :, 0]
-        rois, roi_scores, roi_valid = None, None, None
-        from ..models import proposal_layer
-
-        rois, roi_scores, roi_valid = proposal_layer(
-            rpn_scores_raw, out["rpn_reg"], out["backbone_xyz"], cfg, "TEST")
-        seg = (jax.nn.sigmoid(rpn_scores_raw) > cfg.RPN.SCORE_THRESH)
-        return {"rois": rois, "roi_scores_raw": roi_scores,
-                "roi_valid": roi_valid, "seg_result": seg,
-                "rpn_scores_raw": rpn_scores_raw,
-                "backbone_xyz": out["backbone_xyz"],
-                "backbone_features": out["backbone_features"]}
+        out["rpn_scores_raw"] = out["rpn_cls"][:, :, 0]
+        return {k: out[k] for k in (
+            "rois", "roi_scores_raw", "roi_valid", "seg_result",
+            "rpn_scores_raw", "backbone_xyz", "backbone_features")}
 
     infer = jax.jit(rpn_infer)
     total_recall = np.zeros(len(THRESH_LIST), np.int64)
