@@ -12,6 +12,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
+        # on a 1-core host the 8 virtual devices run serially; the default
+        # 40s CPU-collective rendezvous termination timeout kills full-shape
+        # DP steps (each device takes ~90s to reach the grad all-reduce)
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_timeout_seconds=3600"
     ).strip()
 
 import jax
