@@ -193,3 +193,24 @@ def test_config_yaml_and_overrides(tmp_path):
     with pytest.raises(KeyError):
         yaml_file.write_text("NOT_A_KEY: 1\n")
         cfg_from_file(str(yaml_file), target=c)
+
+
+def test_batch_inference_dry_run(capsys):
+    """batch_inference generates the 5x5 matrix eval commands (dry run)
+    (reference: pointrcnn/tools/batch_inference.py gen_cmd/gen_commands)."""
+    from tpu3d.tools import batch_inference as bi
+
+    bi.main(["--models", "kitti=ck/kitti.msgpack", "waymo=ck/waymo.msgpack",
+             "--datasets", "kitti", "nusc", "argo",
+             "--far_points", "4000", "8000", "--dry_run"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2 * 3 * 2  # models x datasets x far_points
+    assert all("eval_rcnn" in line and "--eval_mode rcnn" in line
+               for line in out)
+    assert any("multi_data/argo" in line and "--dataset argo" in line
+               for line in out)
+    # one2one pairs models with datasets instead of the full product
+    bi.main(["--models", "kitti=a", "waymo=b", "--datasets", "kitti", "waymo",
+             "--one2one", "--far_points", "4000", "--dry_run"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
