@@ -142,26 +142,39 @@ class PointnetSAModuleMSG(nn.Module):
                                      query_chunk=chunk)
                 if (features is not None
                         and self.npoint * nsample > xyz.shape[1]):
-                    # pre-group first layer: Dense(concat(xyz_rel, f)) ==
-                    # Dense_xyz(xyz_rel) + Dense_f(f), and the feature half
-                    # only needs the N distinct points, not the M*S grouped
-                    # copies — at the RCNN SA shapes (128 centers x 64
-                    # samples from 512 points) this cuts the dominant
-                    # first-layer matmul FLOPs ~16x. Exact same
+                    # pre-group first layer: the whole first Dense moves in
+                    # front of the gather. With W = [W_x | W_f],
+                    #   W @ [xyz[idx]-c ; f[idx]] =
+                    #   (W_x@xyz + W_f@f)[idx] - W_x@c,
+                    # so ONE per-distinct-point matmul + ONE narrow gather +
+                    # a per-center correction replace the grouped-copy
+                    # matmul AND the grouped-xyz gather (8.4 ms of pure
+                    # gather at the RCNN SA_0 shape). Exact same
                     # pre-activations, so BN statistics are unchanged.
-                    pre = nn.Dense(mlp[0], use_bias=not self.bn,
-                                   kernel_init=nn.initializers.he_normal(),
-                                   dtype=self.dtype,
-                                   name=f"mlp_{i}_pre_feat")(features)
+                    in_ch = features.shape[-1] + (3 if self.use_xyz else 0)
+                    cdt = self.dtype or features.dtype
+                    kernel = self.param(
+                        f"mlp_{i}_pre_kernel",
+                        nn.initializers.he_normal(), (in_ch, mlp[0]))
+                    kernel = kernel.astype(cdt)
+                    if self.use_xyz:
+                        pre = (xyz.astype(cdt) @ kernel[:3]
+                               + features.astype(cdt) @ kernel[3:])
+                    else:
+                        pre = features.astype(cdt) @ kernel
+                    if not self.bn:
+                        pre = pre + self.param(
+                            f"mlp_{i}_pre_bias", nn.initializers.zeros,
+                            (mlp[0],)).astype(cdt)
+                    # gather the pre-activations in bf16 on TPU: halves the
+                    # (B, M, S, C) materialization traffic; the one-hot
+                    # gather path rounds values to bf16 anyway
+                    if jax.default_backend() == "tpu":
+                        pre = pre.astype(jnp.bfloat16)
                     x = group_points(pre, idx)  # (B, M, S, mlp[0])
                     if self.use_xyz:
-                        grouped_xyz = (group_points(xyz, idx)
-                                       - new_xyz[:, :, None, :])
-                        x = x + nn.Dense(
-                            mlp[0], use_bias=False,
-                            kernel_init=nn.initializers.he_normal(),
-                            dtype=self.dtype,
-                            name=f"mlp_{i}_pre_xyz")(grouped_xyz)
+                        center_term = new_xyz.astype(cdt) @ kernel[:3]
+                        x = x - center_term[:, :, None, :].astype(x.dtype)
                     if self.bn:
                         x = BatchNorm(name=f"mlp_{i}_pre_bn")(
                             x, use_running_average=not train,

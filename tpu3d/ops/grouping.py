@@ -60,6 +60,8 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
     NPAD = _round_up(N, 128)
     W = next(w for w in (512, 256, 128) if NPAD % w == 0)
     NB = NPAD // W
+    # working set ~6 live (tile_m, W) f32 arrays (+ Mosaic temps); measured
+    # fastest at the 4MB budget — bigger tiles were slower at the SA shapes
     tile_m = min(M, max(8, (4 * 1024 * 1024 // (6 * W * 4)) // 128 * 128))
     while M % tile_m != 0:  # largest divisor of M under the VMEM budget
         tile_m -= 1

@@ -66,9 +66,13 @@ def _three_nn_idx_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
     B, M, _ = unknown.shape
     N = known.shape[1]
     NPAD = _round_up(N, 128)
-    W = next(w for w in (512, 256, 128) if NPAD % w == 0)
+    W = next(w for w in (256, 128) if NPAD % w == 0)
     NB = NPAD // W
-    tile_m = min(M, max(8, (4 * 1024 * 1024 // (10 * W * 4)) // 128 * 128))
+    # working set ~10 live (tile_m, W) f32 arrays + Mosaic temps of similar
+    # order; the 5MB budget keeps the true footprint under the 16MB
+    # scoped-vmem limit (tile 512, W 256 measured fastest at the FP shapes)
+    tile_m = min(M, max(8, (5 * 1024 * 1024 // (10 * W * 4)) // 128 * 128))
+    tile_m = min(tile_m, 512)
     while M % tile_m != 0:
         tile_m -= 1
     u_t = jnp.transpose(unknown, (0, 2, 1))  # (B, 3, M)
