@@ -438,3 +438,28 @@ def test_ball_query_from_nearest_matches_ball_query(rng):
         ref = np.asarray(ops.ball_query(jnp.asarray(c), jnp.asarray(p),
                                         radius, nsample))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_nearest_k_with_coords(rng):
+    """with_coords returns the picked points' coordinates bit-identical to a
+    gather of the returned indices (both the Pallas interpret path and the
+    fallback)."""
+    from tpu3d.ops.grouping import _nearest_k_pallas, nearest_k
+
+    c = (rng.normal(size=(2, 128, 3)) * 10).astype(np.float32)
+    p = (rng.normal(size=(2, 640, 3)) * 10).astype(np.float32)
+    d2, idx, xyz = _nearest_k_pallas(jnp.asarray(c), jnp.asarray(p), 16,
+                                     interpret=True, with_coords=True)
+    d2, idx, xyz = map(np.asarray, (d2, idx, xyz))
+    ref = np.stack([p[b][idx[b].reshape(-1)].reshape(128, 16, 3)
+                    for b in range(2)])
+    np.testing.assert_array_equal(xyz, ref)
+    d2b, idxb = _nearest_k_pallas(jnp.asarray(c), jnp.asarray(p), 16,
+                                  interpret=True)
+    np.testing.assert_array_equal(idx, np.asarray(idxb))
+    # fallback path agrees with its own indices too
+    d2f, idxf, xyzf = nearest_k(jnp.asarray(c), jnp.asarray(p), 16,
+                                with_coords=True)
+    reff = np.stack([p[b][np.asarray(idxf)[b].reshape(-1)].reshape(128, 16, 3)
+                     for b in range(2)])
+    np.testing.assert_array_equal(np.asarray(xyzf), reff)

@@ -123,9 +123,18 @@ class PointnetSAModuleMSG(nn.Module):
         # of the K = max(nsample) candidate list (K-NN computed once via the
         # fused Pallas kernel on TPU; reference runs ball_query per radius)
         shared = None
+        cand_xyz = None
         if self.npoint is not None and len(self.radii) > 1:
             k_max = max(self.nsamples)
-            shared = nearest_k(new_xyz, xyz, k_max)
+            if features is None:
+                # candidate coordinates come straight out of the kernel's
+                # VMEM registers; each scale's grouped xyz is then a pure
+                # elementwise prefix/radius selection of the candidates
+                # (the per-scale 3-channel gathers were ~9 ms at SA_0)
+                *shared, cand_xyz = nearest_k(new_xyz, xyz, k_max,
+                                              with_coords=True)
+            else:
+                shared = nearest_k(new_xyz, xyz, k_max)
 
         scale_features = []
         for i, (radius, nsample, mlp) in enumerate(
@@ -186,7 +195,21 @@ class PointnetSAModuleMSG(nn.Module):
                                               bn_momentum=bn_momentum)
                     scale_features.append(jnp.max(out, axis=2))
                     continue
-                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                if cand_xyz is not None:
+                    # derive this scale's grouped xyz from the shared
+                    # candidate gather: prefix slots, radius hit mask, and
+                    # the CUDA fill (first hit / point 0) — all elementwise
+                    hit = ((shared[0][..., :nsample] < radius * radius)
+                           & (shared[1][..., :nsample] < xyz.shape[1]))
+                    c_xyz = cand_xyz[..., :nsample, :]
+                    first_xyz = jnp.where(
+                        hit[..., 0:1, None], c_xyz[..., 0:1, :],
+                        xyz[:, 0][:, None, None, :])
+                    grouped_xyz = (jnp.where(hit[..., None], c_xyz, first_xyz)
+                                   - new_xyz[:, :, None, :])
+                else:
+                    grouped_xyz = (group_points(xyz, idx)
+                                   - new_xyz[:, :, None, :])
                 grouped = grouped_xyz
                 if features is not None:
                     grouped_feats = group_points(features, idx)
@@ -224,7 +247,9 @@ class PointnetFPModule(nn.Module):
     def __call__(self, unknown, known, unknown_feats, known_feats,
                  train: bool = False, bn_momentum=0.9):
         if known is not None:
-            dist, idx = three_nn(unknown, known)
+            # eval skips the differentiable distance recompute (a 400k-row
+            # coordinate gather at FP_0); the CUDA op has no dist grad either
+            dist, idx = three_nn(unknown, known, differentiable=train)
             weight = interpolation_weights(dist)
             interpolated = three_interpolate(known_feats, idx, weight)
         else:

@@ -30,9 +30,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("k", "interpret"))
+@partial(jax.jit, static_argnames=("k", "interpret", "with_coords"))
 def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
-                      interpret: bool = False):
+                      interpret: bool = False, with_coords: bool = False):
     """(B, M, 3) × (B, N, 3) -> ((B, M, k) d2, (B, M, k) idx), nearest first.
 
     Fused Pallas kernel; the (TILE_M, N) distance matrix is never
@@ -60,9 +60,10 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
     NPAD = _round_up(N, 128)
     W = next(w for w in (512, 256, 128) if NPAD % w == 0)
     NB = NPAD // W
-    # working set ~6 live (tile_m, W) f32 arrays (+ Mosaic temps); measured
-    # fastest at the 4MB budget — bigger tiles were slower at the SA shapes
-    tile_m = min(M, max(8, (4 * 1024 * 1024 // (6 * W * 4)) // 128 * 128))
+    # working set ~6 (9 with coords) live (tile_m, W) f32 arrays (+ Mosaic
+    # temps); measured fastest at the 4MB budget — bigger tiles were slower
+    n_live = 9 if with_coords else 6
+    tile_m = min(M, max(8, (4 * 1024 * 1024 // (n_live * W * 4)) // 128 * 128))
     while M % tile_m != 0:  # largest divisor of M under the VMEM budget
         tile_m -= 1
     c_t = jnp.transpose(centers, (0, 2, 1))  # (B, 3, M)
@@ -71,29 +72,39 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
         pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, NPAD - N)),
                         constant_values=1e9)
 
-    def kernel(c_ref, p_ref, d_out, i_out):
+    def kernel(c_ref, p_ref, *outs):
+        d_out, i_out = outs[0], outs[1]
         # exact VPU distances: the u²+k²−2u·k MXU form loses ~|u||k|·eps_bf16
         # to cancellation (KITTI coords reach 70 m, d² thresholds are 0.01 m²)
         ux = c_ref[0, 0][:, None]  # (tile_m, 1)
         uy = c_ref[0, 1][:, None]
         uz = c_ref[0, 2][:, None]
 
-        def block_d2(b):
+        def blocks(b):
             px = p_ref[0, 0, pl.ds(b * W, W)][None, :]  # (1, W)
             py = p_ref[0, 1, pl.ds(b * W, W)][None, :]
             pz = p_ref[0, 2, pl.ds(b * W, W)][None, :]
-            return (ux - px) ** 2 + (uy - py) ** 2 + (uz - pz) ** 2
+            return px, py, pz
 
         def sweep(b, carry):
-            cand_d, cand_blk = carry
-            m = block_d2(b)
+            cand_d, cand_blk = carry[0], carry[1]
+            px, py, pz = blocks(b)
+            m = (ux - px) ** 2 + (uy - py) ** 2 + (uz - pz) ** 2
             upd = m < cand_d  # strict: ties keep the earlier (lower) block
-            return (jnp.where(upd, m, cand_d),
-                    jnp.where(upd, b, cand_blk))
+            out = (jnp.where(upd, m, cand_d), jnp.where(upd, b, cand_blk))
+            if with_coords:
+                cx, cy, cz = carry[2], carry[3], carry[4]
+                out += (jnp.where(upd, px, cx), jnp.where(upd, py, cy),
+                        jnp.where(upd, pz, cz))
+            return out
 
+        zf = jnp.zeros((tile_m, W), jnp.float32)
         init = (jnp.full((tile_m, W), jnp.inf, jnp.float32),
                 jnp.zeros((tile_m, W), jnp.int32))
-        cand_d, cand_blk = jax.lax.fori_loop(0, NB, sweep, init)
+        if with_coords:
+            init += (zf, zf, zf)
+        carry = jax.lax.fori_loop(0, NB, sweep, init)
+        cand_d, cand_blk = carry[0], carry[1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, W), 1)
         cand_i = cand_blk * W + lane
         out_rows = jax.lax.broadcasted_iota(jnp.int32, (k, tile_m), 0)
@@ -103,15 +114,24 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
             sel_lane = jnp.min(jnp.where(cand_d == cmin, lane, W), axis=1)
             sel = lane == sel_lane[:, None]
             idx_s = jnp.sum(jnp.where(sel, cand_i, 0), axis=1)
-            d_out[0] = jnp.where(out_rows == s, cmin[:, 0][None, :], d_out[0])
-            i_out[0] = jnp.where(out_rows == s, idx_s[None, :], i_out[0])
+            row = out_rows == s
+            d_out[0] = jnp.where(row, cmin[:, 0][None, :], d_out[0])
+            i_out[0] = jnp.where(row, idx_s[None, :], i_out[0])
+            if with_coords:
+                for o, c in zip(outs[2:], carry[2:]):
+                    v = jnp.sum(jnp.where(sel, c, 0.0), axis=1)
+                    o[0] = jnp.where(row, v[None, :], o[0])
             return jnp.where(sel, jnp.inf, cand_d)
 
-        d_out[0] = jnp.zeros((k, tile_m), jnp.float32)
-        i_out[0] = jnp.zeros((k, tile_m), jnp.int32)
+        for o in outs:
+            o[0] = jnp.zeros((k, tile_m), o.dtype)
         jax.lax.fori_loop(0, k, pick, cand_d)
 
-    d_o, i_o = pl.pallas_call(
+    n_out = 5 if with_coords else 2
+    spec = pl.BlockSpec((1, k, tile_m), lambda b, i: (b, 0, i),
+                        memory_space=pltpu.VMEM)
+    dtypes = [jnp.float32, jnp.int32] + [jnp.float32] * (n_out - 2)
+    res = pl.pallas_call(
         kernel,
         grid=(B, M // tile_m),
         in_specs=[
@@ -120,37 +140,43 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
             pl.BlockSpec((1, 3, NPAD), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, k, tile_m), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tile_m), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, k, M), jnp.float32),
-            jax.ShapeDtypeStruct((B, k, M), jnp.int32),
-        ),
+        out_specs=tuple(spec for _ in range(n_out)),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, k, M), dt) for dt in dtypes),
         interpret=interpret,
     )(c_t, pts_t)
-    return (jnp.transpose(d_o, (0, 2, 1)), jnp.transpose(i_o, (0, 2, 1)))
+    out = tuple(jnp.transpose(r, (0, 2, 1)) for r in res)
+    if with_coords:
+        return out[0], out[1], jnp.stack(out[2:], axis=-1)  # (B, M, k, 3)
+    return out[0], out[1]
 
 
-def nearest_k(centers: jnp.ndarray, pts: jnp.ndarray, k: int):
-    """(B, M, 3) × (B, N, 3) -> ((B, M, k) squared dists, (B, M, k) idx),
-    nearest first. Dispatches to the fused Pallas kernel on TPU for large
-    problems; otherwise one approx_min_k (exact on CPU)."""
+def nearest_k(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
+              with_coords: bool = False):
+    """(B, M, 3) × (B, N, 3) -> ((B, M, k) squared dists, (B, M, k) idx
+    [, (B, M, k, 3) coords]), nearest first. Dispatches to the fused Pallas
+    kernel on TPU for large problems; otherwise one approx_min_k (exact on
+    CPU). with_coords returns the picked points' coordinates straight from
+    the kernel's VMEM registers — no 3-channel coordinate gather (which
+    costs ~6 ms at the RPN SA_0 shape)."""
     B, M, _ = centers.shape
     N = pts.shape[1]
     if (jax.default_backend() == "tpu" and M * N >= (1 << 20)
             and N % 128 == 0 and k <= 64
             and not os.environ.get("TPU3D_DISABLE_PALLAS")):
-        return _nearest_k_pallas(centers, pts, k)
+        return _nearest_k_pallas(centers, pts, k, with_coords=with_coords)
     d2 = jnp.sum((centers[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1)
     if N < k:
         d2 = jnp.concatenate(
             [d2, jnp.full((B, M, k - N), jnp.inf, d2.dtype)], axis=2)
     min_d2, idx = jax.lax.approx_min_k(d2, k)
-    return min_d2, idx.astype(jnp.int32)
+    idx = idx.astype(jnp.int32)
+    if with_coords:
+        safe = jnp.clip(idx, 0, N - 1)
+        coords = jnp.take_along_axis(
+            pts, safe.reshape(B, M * k)[..., None], axis=1
+        ).reshape(B, M, k, 3)
+        return min_d2, idx, coords
+    return min_d2, idx
 
 
 def ball_query_from_nearest(d2: jnp.ndarray, idx: jnp.ndarray, radius: float,

@@ -17,23 +17,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
+@partial(jax.jit, static_argnames=("differentiable",))
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
+             differentiable: bool = True):
     """(B, M, 3) queries × (B, N, 3) sources -> ((B, M, 3) dists, (B, M, 3) idx).
 
     Distances are Euclidean (not squared), nearest first, matching the exact
     brute-force 3-NN of interpolate_gpu.cu:9-70. On TPU the neighbor search is
-    a Pallas kernel (distance tile lives in VMEM, three exact min/mask passes —
+    a Pallas kernel (distance tile lives in VMEM, exact per-lane top-3 sweep —
     no (M, N) HBM round trip, unlike the earlier approx_min_k formulation which
     was also only 0.99-recall); elsewhere it falls back to approx_min_k, which
-    is exact on CPU. Distances are recomputed from the picked coordinates
-    outside the kernel, so they are differentiable w.r.t. both point sets.
+    is exact on CPU.
+
+    differentiable=True recomputes the picked distances from coordinates
+    outside the kernel so gradients flow to both point sets (the training
+    path); differentiable=False returns the kernel's own exact distances,
+    skipping a 400k-row coordinate gather (the inference path — the reference
+    CUDA op has no distance gradient either, interpolate_gpu.cu).
     """
     B, M, _ = unknown.shape
     N = known.shape[1]
     if (jax.default_backend() == "tpu" and M % 128 == 0 and M >= 128
             and not os.environ.get("TPU3D_DISABLE_PALLAS")):
-        idx = _three_nn_idx_pallas(unknown, known)
+        d2k, idx = _three_nn_pallas(unknown, known)
+        if not differentiable:
+            return jnp.sqrt(jnp.maximum(d2k, 0.0)), idx
         picked = jnp.take_along_axis(
             known, idx.reshape(B, M * 3)[..., None], axis=1
         ).reshape(B, M, 3, 3)
@@ -48,9 +56,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _three_nn_idx_pallas(unknown, known, interpret=False):
+    """Back-compat shim: indices only."""
+    return _three_nn_pallas(unknown, known, interpret=interpret)[1]
+
+
 @partial(jax.jit, static_argnames=("interpret",))
-def _three_nn_idx_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
-                         interpret: bool = False) -> jnp.ndarray:
+def _three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
+                     interpret: bool = False):
     """Exact 3-NN indices on TPU. A fori_loop sweeps W-point blocks of the
     sources, maintaining exact per-lane top-3 (value, index) registers via a
     vectorized 3-way insertion; the true top-3 of a row always survive in the
@@ -58,8 +71,8 @@ def _three_nn_idx_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
     three exact picks over the (TILE_M, W) candidates finish the job. The
     (TILE_M, N) distance matrix is never materialized — working set is ~8
     (TILE_M, W) arrays, far under the 16MB scoped-vmem limit. Returns
-    (B, M, 3) int32, nearest first; ties break to the lowest index (matching
-    interpolate_gpu.cu's stable scan)."""
+    ((B, M, 3) f32 squared dists, (B, M, 3) int32 idx), nearest first; ties
+    break to the lowest index (matching interpolate_gpu.cu's stable scan)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -81,7 +94,7 @@ def _three_nn_idx_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
         k_t = jnp.pad(k_t, ((0, 0), (0, 0), (0, NPAD - N)),
                       constant_values=1e9)
 
-    def kernel(u_ref, k_ref, out_ref):
+    def kernel(u_ref, k_ref, out_ref, d_ref):
         ux = u_ref[0, 0][:, None]  # (TILE_M, 1)
         uy = u_ref[0, 1][:, None]
         uz = u_ref[0, 2][:, None]
@@ -117,6 +130,7 @@ def _three_nn_idx_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
             # among equal-distance candidates take the lowest point index
             chosen = jnp.min(jnp.where(d1 == cmin, i1, big), axis=1)
             out_ref[0, s] = chosen
+            d_ref[0, s] = cmin[:, 0]
             sel = jnp.logical_and(d1 == cmin, i1 == chosen[:, None])
             # shift the selected lane's register stack up one slot
             d1 = jnp.where(sel, d2, d1)
@@ -125,7 +139,7 @@ def _three_nn_idx_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
             i2 = jnp.where(sel, i3, i2)
             d3 = jnp.where(sel, jnp.inf, d3)
 
-    out = pl.pallas_call(
+    idx_o, d_o = pl.pallas_call(
         kernel,
         grid=(B, M // tile_m),
         in_specs=[
@@ -134,12 +148,20 @@ def _three_nn_idx_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
             pl.BlockSpec((1, 3, NPAD), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, tile_m), lambda b, i: (b, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 3, M), jnp.int32),
+        out_specs=(
+            pl.BlockSpec((1, 3, tile_m), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_m), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 3, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, 3, M), jnp.float32),
+        ),
         interpret=interpret,
     )(u_t, k_t)
-    return jnp.transpose(out, (0, 2, 1))  # (B, M, 3)
+    return (jnp.transpose(d_o, (0, 2, 1)),
+            jnp.transpose(idx_o, (0, 2, 1)))  # ((B,M,3) d2, (B,M,3) idx)
 
 
 @jax.jit
