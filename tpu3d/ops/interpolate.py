@@ -107,16 +107,21 @@ def _three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
             kz = k_ref[0, 2, pl.ds(b * W, W)][None, :]
             m = (ux - kx) ** 2 + (uy - ky) ** 2 + (uz - kz) ** 2
             idx = b * W + lane
-            # 3-way insertion; strict < keeps earlier (lower) indices on ties
-            lt1 = m < d1
-            lt2 = jnp.logical_and(~lt1, m < d2)
-            lt3 = jnp.logical_and(~lt1, jnp.logical_and(~lt2, m < d3))
-            d3n = jnp.where(lt2, d2, jnp.where(lt3, m, d3))
-            i3n = jnp.where(lt2, i2, jnp.where(lt3, idx, i3))
-            d2n = jnp.where(lt1, d1, jnp.where(lt2, m, d2))
-            i2n = jnp.where(lt1, i1, jnp.where(lt2, idx, i2))
-            d1n = jnp.where(lt1, m, d1)
-            i1n = jnp.where(lt1, idx, i1)
+            # 3-way insertion as a min/max sorting network for the distances
+            # (5 ops instead of a 6-where shift chain) + compare-driven
+            # selects for the indices; strict < keeps earlier (lower)
+            # indices on ties
+            c1 = m < d1
+            c2 = m < d2
+            c3 = m < d3
+            y1 = jnp.maximum(d1, m)
+            d1n = jnp.minimum(d1, m)
+            y2 = jnp.maximum(d2, y1)
+            d2n = jnp.minimum(d2, y1)
+            d3n = jnp.minimum(d3, y2)
+            i1n = jnp.where(c1, idx, i1)
+            i2n = jnp.where(c2, jnp.where(c1, i1, idx), i2)
+            i3n = jnp.where(c3, jnp.where(c2, i2, idx), i3)
             return d1n, i1n, d2n, i2n, d3n, i3n
 
         inf = jnp.full((tile_m, W), jnp.inf, jnp.float32)

@@ -150,7 +150,7 @@ def main(argv=None):
     if args.synthetic:
         data_root = os.path.join(root, "synthetic_data")
         if not os.path.exists(os.path.join(data_root, "KITTI")):
-            create_synthetic_kitti(data_root, n_frames=8, image_files=True)
+            create_synthetic_kitti(data_root, n_frames=32, image_files=True)
         args.data_root = data_root
     data_root = args.data_root or os.path.join("multi_data", args.dataset)
 
