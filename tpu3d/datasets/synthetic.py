@@ -58,12 +58,24 @@ def _project_box2d(calib, box):
     return x1, y1, x2, y2
 
 
+DEFAULT_CLASS_DIMS = {  # KITTI-like mean (h, w, l) per class
+    "Car": (1.52, 1.63, 3.88),
+    "Pedestrian": (1.76, 0.66, 0.84),
+    "Cyclist": (1.74, 0.60, 1.76),
+}
+
+
 def create_synthetic_kitti(root: str, n_frames: int = 8, cars_per_frame=(2, 5),
                            n_bg_points: int = 14000, pts_per_car: int = 700,
                            seed: int = 0, splits=("train", "val"),
                            image_files: bool = False,
-                           car_dims_mean=(1.52, 1.63, 3.88)) -> str:
-    """Build <root>/KITTI/object/training/... + ImageSets. Returns root."""
+                           car_dims_mean=(1.52, 1.63, 3.88),
+                           extra_classes=()) -> str:
+    """Build <root>/KITTI/object/training/... + ImageSets. Returns root.
+
+    extra_classes: additional object classes ("Pedestrian", "Cyclist") to
+    place per frame (1-2 each, KITTI-like dimensions) — exercises the
+    reference's default_cyclist / default_people configurations."""
     rng = np.random.default_rng(seed)
     obj_dir = os.path.join(root, "KITTI", "object", "training")
     for sub in ("velodyne", "calib", "label_2", "planes", "image_2"):
@@ -94,18 +106,23 @@ def create_synthetic_kitti(root: str, n_frames: int = 8, cars_per_frame=(2, 5),
                 os.path.join(obj_dir, "image_2", f"{name}.png"))
 
         n_cars = int(rng.integers(cars_per_frame[0], cars_per_frame[1] + 1))
-        boxes, labels = [], []
-        for _ in range(n_cars):
+        wanted = [("Car", car_dims_mean)] * n_cars
+        for cls in extra_classes:
+            for _ in range(int(rng.integers(1, 3))):
+                wanted.append((cls, DEFAULT_CLASS_DIMS[cls]))
+        boxes, classes, labels = [], [], []
+        for cls, dims_mean in wanted:
             for _try in range(20):
                 x = rng.uniform(-15, 15)
                 z = rng.uniform(6, 65)
                 ry = rng.uniform(-np.pi, np.pi)
-                h = rng.normal(car_dims_mean[0], 0.05)
-                w = rng.normal(car_dims_mean[1], 0.05)
-                l = rng.normal(car_dims_mean[2], 0.2)
+                h = rng.normal(dims_mean[0], 0.05)
+                w = rng.normal(dims_mean[1], 0.05)
+                l = rng.normal(dims_mean[2], 0.2 if cls == "Car" else 0.05)
                 box = np.array([x, 1.65, z, h, w, l, ry], np.float32)
                 if all(np.hypot(b[0] - x, b[2] - z) > 4.0 for b in boxes):
                     boxes.append(box)
+                    classes.append(cls)
                     break
         # background: ground plane + clutter in front of the camera
         gx = rng.uniform(-25, 25, n_bg_points)
@@ -122,15 +139,15 @@ def create_synthetic_kitti(root: str, n_frames: int = 8, cars_per_frame=(2, 5),
             [velo, rng.uniform(0, 1, (len(velo), 1)).astype(np.float32)], axis=1)
         scan.tofile(os.path.join(obj_dir, "velodyne", f"{name}.bin"))
 
-        for box in boxes:
+        for cls, box in zip(classes, boxes):
             x1, y1, x2, y2 = _project_box2d(calib, box)
             beta = np.arctan2(box[2], box[0])
             alpha = -np.sign(beta) * np.pi / 2 + beta + box[6]
             alpha = np.arctan2(np.sin(alpha), np.cos(alpha))
             labels.append(
-                "Car 0.00 0 %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f "
-                "%.2f %.2f" % (alpha, x1, y1, x2, y2, box[3], box[4], box[5],
-                               box[0], box[1], box[2], box[6]))
+                "%s 0.00 0 %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f "
+                "%.2f %.2f" % (cls, alpha, x1, y1, x2, y2, box[3], box[4],
+                               box[5], box[0], box[1], box[2], box[6]))
         with open(os.path.join(obj_dir, "label_2", f"{name}.txt"), "w") as f:
             f.write("\n".join(labels) + "\n")
     return root
