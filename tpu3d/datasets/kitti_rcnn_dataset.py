@@ -42,6 +42,13 @@ class KittiRCNNDataset(KittiDataset):
         from ..config import cfg as global_cfg
 
         self.cfg = cfg if cfg is not None else global_cfg
+        # padded roi slots for the offline-RCNN eval path: follow the eval
+        # proposal budget so NO saved proposal is silently dropped (the
+        # reference refines every saved proposal, eval_rcnn.py:263-460)
+        try:
+            self.MAX_ROI = int(self.cfg.TEST.RPN_POST_NMS_TOP_N)
+        except Exception:
+            pass
         if classes == "Car":
             self.classes = ("Background", "Car")
             aug_scene_root = os.path.join(root_dir, "KITTI", "aug_scene")
@@ -200,15 +207,9 @@ class KittiRCNNDataset(KittiDataset):
         roi_boxes3d = _to_boxes(roi_objs)
         roi_scores = np.array([o.score or 0.0 for o in roi_objs], np.float32)
 
-        extras = []
-        if cfg.RCNN.USE_INTENSITY:
-            extras.append(rpn_intensity.reshape(-1, 1))
-        extras.append(seg_mask.reshape(-1, 1))
-        if cfg.RCNN.USE_DEPTH:
-            depth = np.linalg.norm(rpn_xyz, axis=1) / 70.0 - 0.5
-            extras.append(depth.reshape(-1, 1))
+        pts_extra = self._rcnn_extra_features(rpn_xyz, rpn_intensity, seg_mask)
         pts_feature = np.concatenate(
-            extras + [rpn_features], axis=1).astype(np.float32)
+            [pts_extra, rpn_features], axis=1).astype(np.float32)
 
         # pad rois to a fixed slot count so eval batches have one shape
         m = int(min(len(roi_boxes3d), self.MAX_ROI))
@@ -248,7 +249,8 @@ class KittiRCNNDataset(KittiDataset):
         return sample
 
     # ----- offline-RCNN training (features + rois dumped by an RPN eval run)
-    MAX_ROI = 100  # padded eval roi slots (TEST.RPN_POST_NMS_TOP_N default)
+    MAX_ROI = 300  # class-level fallback; __init__ overrides from
+    # cfg.TEST.RPN_POST_NMS_TOP_N so saved proposals are never truncated
 
     @staticmethod
     def random_aug_box3d(rng, box3d, reg_aug_method="multiple"):

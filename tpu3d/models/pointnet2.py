@@ -104,6 +104,15 @@ class PointnetSAModuleMSG(nn.Module):
     bn: bool = True
     query_chunk: int | None = 512
     dtype: Any = None
+    # True when xyz is already a small-magnitude canonical frame (the RCNN's
+    # per-ROI coordinates): the pre-group pre-activations may then be rounded
+    # to bf16 BEFORE the per-center subtraction without losing the local
+    # geometry signal. In scene frames (|xyz| up to 70 m) that rounding is
+    # amplified by cancellation — W_x@xyz[idx] − W_x@c keeps only the
+    # sub-metre difference — so non-canonical levels gather f32 and cast to
+    # bf16 only AFTER the subtraction (XLA fuses subtract+cast into the
+    # gather's consumer).
+    canonical: bool = False
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.9,
@@ -175,15 +184,20 @@ class PointnetSAModuleMSG(nn.Module):
                         pre = pre + self.param(
                             f"mlp_{i}_pre_bias", nn.initializers.zeros,
                             (mlp[0],)).astype(cdt)
-                    # gather the pre-activations in bf16 on TPU: halves the
-                    # (B, M, S, C) materialization traffic; the one-hot
-                    # gather path rounds values to bf16 anyway
-                    if jax.default_backend() == "tpu":
+                    on_tpu = jax.default_backend() == "tpu"
+                    if on_tpu and (self.canonical or not self.use_xyz):
+                        # canonical/feature-only frames: bf16 gather halves
+                        # the (B, M, S, C) materialization traffic safely
                         pre = pre.astype(jnp.bfloat16)
-                    x = group_points(pre, idx)  # (B, M, S, mlp[0])
+                    x = group_points(pre, idx,
+                                     precise=not self.canonical)
                     if self.use_xyz:
                         center_term = new_xyz.astype(cdt) @ kernel[:3]
                         x = x - center_term[:, :, None, :].astype(x.dtype)
+                    if on_tpu and x.dtype == jnp.float32:
+                        # cast AFTER the cancellation: the residual is the
+                        # small local-geometry signal, safe in bf16
+                        x = x.astype(jnp.bfloat16)
                     if self.bn:
                         x = BatchNorm(name=f"mlp_{i}_pre_bn")(
                             x, use_running_average=not train,

@@ -57,6 +57,7 @@ class RCNNNet(nn.Module):
                 nsamples=(int(c.SA_CONFIG.NSAMPLE[k]),),
                 mlps=(tuple(c.SA_CONFIG.MLPS[k]),),
                 use_xyz=True, bn=c.USE_BN, query_chunk=None, dtype=dt,
+                canonical=True,  # per-ROI frame: |xyz| <= a few metres
                 name=f"sa_{k}")(
                     l_xyz, l_features, train=train, bn_momentum=bn_momentum)
 

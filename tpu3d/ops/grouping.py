@@ -164,11 +164,29 @@ def nearest_k(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
             and N % 128 == 0 and k <= 64
             and not os.environ.get("TPU3D_DISABLE_PALLAS")):
         return _nearest_k_pallas(centers, pts, k, with_coords=with_coords)
-    d2 = jnp.sum((centers[:, :, None, :] - pts[:, None, :, :]) ** 2, axis=-1)
-    if N < k:
-        d2 = jnp.concatenate(
-            [d2, jnp.full((B, M, k - N), jnp.inf, d2.dtype)], axis=2)
-    min_d2, idx = jax.lax.approx_min_k(d2, k)
+
+    # fallback: chunk the query dim so the distance tile stays bounded
+    # (a whole (B, M, N) matrix is 256MB/scene at the RPN SA_0 shape)
+    chunk = M
+    if M * N > (1 << 22):
+        chunk = next((c for c in (512, 256, 128, 64) if M % c == 0), M)
+
+    def one_chunk(cc, p):
+        d2 = jnp.sum((cc[:, None, :] - p[None, :, :]) ** 2, axis=-1)
+        if N < k:
+            d2 = jnp.concatenate(
+                [d2, jnp.full((d2.shape[0], k - N), jnp.inf, d2.dtype)],
+                axis=1)
+        return jax.lax.approx_min_k(d2, k)
+
+    def per_batch(c, p):
+        if chunk == M:
+            return one_chunk(c, p)
+        parts = c.reshape(M // chunk, chunk, 3)
+        d, i = jax.lax.map(lambda cc: one_chunk(cc, p), parts)
+        return d.reshape(M, k), i.reshape(M, k)
+
+    min_d2, idx = jax.vmap(per_batch)(centers, pts)
     idx = idx.astype(jnp.int32)
     if with_coords:
         safe = jnp.clip(idx, 0, N - 1)
@@ -262,23 +280,27 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
     return jax.vmap(per_batch)(centers, pts)
 
 
-@jax.jit
-def group_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("precise",))
+def group_points(features: jnp.ndarray, idx: jnp.ndarray,
+                 precise: bool = False) -> jnp.ndarray:
     """(B, N, C) features gathered by (B, M, nsample) -> (B, M, nsample, C).
 
     Replaces group_points_gpu.cu (+ its hand-written grad — both paths are
     differentiable). On TPU with a small source table the gather is routed
     through the MXU as a chunked one-hot bf16 matmul (~3x faster than the
     native gather at the RCNN's (800, 8192-of-512, 128) shape); wide tables
-    (the RPN's 16384 points) keep the plain gather.
+    (the RPN's 16384 points) keep the plain gather. precise=True forbids the
+    bf16 value rounding (f32 'highest' one-hot or plain gather) — needed when
+    the gathered values feed a cancelling subtraction (pre-grouped scene-frame
+    pre-activations).
     """
     B, M, S = idx.shape
     N, C = features.shape[1], features.shape[-1]
     if jax.default_backend() == "tpu" and N <= 2048:
+        if precise or C < 16:
+            return _group_points_onehot_exact(features, idx)
         if C >= 16 and (M * S) % 8 == 0:
             return _group_points_onehot(features, idx)
-        if C < 16:
-            return _group_points_onehot_exact(features, idx)
     flat = idx.reshape(B, M * S)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(B, M, S, features.shape[-1])

@@ -58,10 +58,14 @@ def _pool_one(pts: jnp.ndarray, feats: jnp.ndarray, boxes: jnp.ndarray,
     # wraparound duplicate fill: slot k reads slot k % count
     k = jnp.arange(num_sampled)[None, :]
     src = jnp.where(counts[:, None] > 0, k % jnp.maximum(counts[:, None], 1), 0)
-    if jax.default_backend() == "tpu":
+    m_boxes = slots.shape[0]
+    if (jax.default_backend() == "tpu"
+            and m_boxes * num_sampled * num_sampled <= (1 << 28)):
         # K-wide one-hot matmul instead of a second row-by-row gather (a
         # 400k-row int gather costs ~5 ms at the eval shape; slot values
-        # < 2^24 are exact in f32, 'highest' keeps them bit-exact)
+        # < 2^24 are exact in f32, 'highest' keeps them bit-exact). Bounded:
+        # at TRAIN-sized ROI counts (2048/scene during --train_with_eval)
+        # the (M, K, K) one-hot work outgrows the gather it replaces.
         oh = jax.nn.one_hot(src, num_sampled, dtype=jnp.float32)
         slots = jnp.einsum("mkj,mj->mk", oh, slots.astype(jnp.float32),
                            precision="highest").astype(jnp.int32)

@@ -55,7 +55,9 @@ def make_lr_schedule(cfg, steps_per_epoch: int, total_epochs: int):
         # optax's onecycle divides by the warmup/decay interval lengths
         # int(ts·pct) and ts − int(ts·pct); at tiny step counts (smoke runs)
         # either can round to zero and the whole schedule turns NaN
-        pct = float(train.PCT_START)
+        # clamp: pct 0 or 1 would make one phase empty at ANY step count and
+        # the widening loop below would never terminate
+        pct = min(max(float(train.PCT_START), 0.01), 0.99)
         while (int(total_steps * pct) < 1
                or total_steps - int(total_steps * pct) < 1):
             total_steps += 1
