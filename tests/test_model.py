@@ -300,3 +300,48 @@ def test_rcnn_canonical_decode_roundtrip():
     assert dry.max() < 2e-2
     diag = np.diag(np.asarray(boxes_iou3d(jnp.asarray(dec), gt_j)))
     assert diag.min() > 0.97
+
+
+def test_remat_grads_match_nonremat(rng):
+    """TRAIN.REMAT must not change the math: loss and gradients of the jitted
+    train step are identical (up to float assoc) with and without
+    rematerialization."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.models import PointRCNN, model_loss
+
+    losses, grads = [], []
+    pts = _pts(rng, 2, small_cfg().RPN.NUM_POINTS)
+    for remat in (False, True):
+        c = small_cfg()
+        c.TRAIN.REMAT = remat
+        model = PointRCNN(cfg=c, mode="TRAIN")
+        batch = {
+            "rpn_cls_label": jnp.zeros((2, c.RPN.NUM_POINTS), jnp.int32),
+            "rpn_reg_label": jnp.zeros((2, c.RPN.NUM_POINTS, 7), jnp.float32),
+        }
+        variables = jax.jit(lambda r: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1),
+             "target": jax.random.PRNGKey(2)}, {"pts_input": r},
+            train=True))(pts)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                {"pts_input": pts}, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(3),
+                      "target": jax.random.PRNGKey(4)})
+            loss, _ = model_loss(c, out, batch)
+            return loss
+
+        l, g = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+        losses.append(float(l))
+        grads.append(g)
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+    flat0 = jax.tree_util.tree_leaves(grads[0])
+    flat1 = jax.tree_util.tree_leaves(grads[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

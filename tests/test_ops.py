@@ -463,3 +463,18 @@ def test_nearest_k_with_coords(rng):
     reff = np.stack([p[b][np.asarray(idxf)[b].reshape(-1)].reshape(128, 16, 3)
                      for b in range(2)])
     np.testing.assert_array_equal(np.asarray(xyzf), reff)
+
+
+def test_group_points_precise_matches_gather(rng):
+    """precise=True must be bit-identical to the plain gather (used for
+    scene-frame pre-grouped activations where bf16 rounding would be
+    amplified by the later center-term cancellation)."""
+    from tpu3d.ops.grouping import group_points
+
+    feats = (rng.normal(size=(2, 256, 32)) * 50).astype(np.float32)
+    idx = rng.integers(0, 256, size=(2, 16, 8)).astype(np.int32)
+    flat = idx.reshape(2, 16 * 8)
+    ref = np.stack([feats[b][flat[b]] for b in range(2)]).reshape(2, 16, 8, 32)
+    got = np.asarray(group_points(jnp.asarray(feats), jnp.asarray(idx),
+                                  precise=True))
+    np.testing.assert_array_equal(got, ref)
