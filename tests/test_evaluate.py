@@ -227,3 +227,29 @@ def test_native_matcher_matches_python():
         for key in ("precision", "recall", "orientation"):
             np.testing.assert_allclose(r_native[key], r_python[key], atol=1e-12,
                                        err_msg=f"metric={metric} {key}")
+
+
+def test_range_check_asserts(tmp_path):
+    """--range_check reproduces tools/evaluate.py's sanity asserts: detections
+    beyond 80 m depth (or labels beyond 70 m) abort the evaluation."""
+    import pytest as _pytest
+
+    from tpu3d.evaluate.evaluate import evaluate
+
+    gt_dir = tmp_path / "gt"
+    dt_dir = tmp_path / "dt"
+    gt_dir.mkdir(); dt_dir.mkdir()
+    line = ("Car 0.00 0 0.0 500 150 600 250 1.50 1.60 3.90 "
+            "0.00 1.65 {z:.2f} 0.00")
+    (gt_dir / "000000.txt").write_text(line.format(z=20.0) + "\n")
+    (dt_dir / "000000.txt").write_text(line.format(z=20.0) + " 0.9\n")
+    split = tmp_path / "val.txt"
+    split.write_text("000000\n")
+    # in-range: passes
+    evaluate(str(dt_dir), label_path=str(gt_dir),
+             label_split_file=str(split), metric="new", range_check=True)
+    # out-of-range detection: asserts
+    (dt_dir / "000000.txt").write_text(line.format(z=95.0) + " 0.9\n")
+    with _pytest.raises(AssertionError, match="80m"):
+        evaluate(str(dt_dir), label_path=str(gt_dir),
+                 label_split_file=str(split), metric="new", range_check=True)

@@ -145,12 +145,20 @@ def evaluate(result_path, dataset_path=None, label_split_file=None,
              coco=False, score_thresh=-1, toground=False, rescale_pred=None,
              align_size=False, align_front=False, reverse_align=False,
              dense_sample=False, direct_save=False, output_iou=False,
-             adapted=False, stats_dir=None):
-    """Full evaluator entry point (reference parity: evaluate/evaluate.py:84-275)."""
+             adapted=False, stats_dir=None, range_check=False):
+    """Full evaluator entry point (reference parity: evaluate/evaluate.py:84-275;
+    range_check adds pointrcnn/tools/evaluate.py:88-101's sanity asserts —
+    detections must stay under 80 m depth, labels under 70 m)."""
     label_split_file = label_split_file or os.path.join(dataset_path, "val.txt")
     label_path = label_path or os.path.join(dataset_path, "training", "label_2")
     val_image_ids = _read_imageset_file(label_split_file)
     dt_annos = kitti.get_label_annos(result_path, val_image_ids)
+    if range_check:
+        for i, anno in enumerate(dt_annos):
+            if len(anno["name"]) > 0:
+                assert np.max(anno["location"][:, 2]) < 80, (
+                    f"{os.path.join(result_path, '%06d.txt' % val_image_ids[i])}"
+                    ", Some detection > 80m!!!")
 
     if score_thresh > 0:
         dt_annos = kitti.filter_annos_low_score(dt_annos, score_thresh)
@@ -165,6 +173,12 @@ def evaluate(result_path, dataset_path=None, label_split_file=None,
             anno["dimensions"] *= rescale_pred
 
     gt_annos = kitti.get_label_annos(label_path, val_image_ids)
+    if range_check:
+        for i, anno in enumerate(gt_annos):
+            if len(anno["name"]) > 0:
+                assert np.max(anno["location"][:, 2]) < 70, (
+                    f"{os.path.join(label_path, '%06d.txt' % val_image_ids[i])}"
+                    ", Some label > 70m!!!")
 
     if output_iou:
         overlaps, *_ = calculate_iou_partly(dt_annos, gt_annos, 1)
@@ -255,6 +269,9 @@ def main():
     parser.add_argument("--dense_sample", action="store_true")
     parser.add_argument("--direct_save", action="store_true")
     parser.add_argument("--output_iou", action="store_true")
+    parser.add_argument("--range_check", action="store_true",
+                        help="assert detections < 80m and labels < 70m depth "
+                             "(reference tools/evaluate.py sanity checks)")
     args = parser.parse_args()
     assert args.dataset_path is not None or (
         args.label_split_file is not None and args.label_path is not None)
