@@ -11,6 +11,7 @@ Regression layout (per row of pred_reg), identical to the reference:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,17 @@ def reg_channels(loc_scope, loc_bin_size, num_head_bin, get_xz_fine,
     n = per_loc_bin_num * (4 if get_xz_fine else 2) + num_head_bin * 2 + 3
     n += loc_y_bin_num * 2 if get_y_by_bin else 1
     return n
+
+
+
+def _select_bin(values, bin_idx):
+    """Per-row pick of values[i, bin_idx[i]] as a masked reduction. On TPU the
+    (N, ~12) take_along_axis lowers to a slow 1D-layout gather (~1.3 ms per
+    call at the 8x16384 proposal decode); an iota-compare + sum is pure VPU
+    and bit-exact (single selected lane)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, values.shape, 1)
+    sel = cols == bin_idx[:, None].astype(jnp.int32)
+    return jnp.sum(jnp.where(sel, values, 0), axis=1)
 
 
 def decode_bbox_target(roi_box3d, pred_reg, loc_scope, loc_bin_size,
@@ -51,21 +63,20 @@ def decode_bbox_target(roi_box3d, pred_reg, loc_scope, loc_bin_size,
     pos_z = z_bin.astype(pred_reg.dtype) * loc_bin_size + loc_bin_size / 2 - loc_scope
 
     if get_xz_fine:
-        x_res = jnp.take_along_axis(
-            pred_reg[:, start: start + per_loc_bin_num],
-            x_bin[:, None], axis=1)[:, 0] * loc_bin_size
-        z_res = jnp.take_along_axis(
+        x_res = _select_bin(
+            pred_reg[:, start: start + per_loc_bin_num], x_bin) * loc_bin_size
+        z_res = _select_bin(
             pred_reg[:, start + per_loc_bin_num: start + per_loc_bin_num * 2],
-            z_bin[:, None], axis=1)[:, 0] * loc_bin_size
+            z_bin) * loc_bin_size
         pos_x = pos_x + x_res
         pos_z = pos_z + z_res
         start += per_loc_bin_num * 2
 
     if get_y_by_bin:
         y_bin = jnp.argmax(pred_reg[:, start: start + loc_y_bin_num], axis=1)
-        y_res = jnp.take_along_axis(
+        y_res = _select_bin(
             pred_reg[:, start + loc_y_bin_num: start + loc_y_bin_num * 2],
-            y_bin[:, None], axis=1)[:, 0] * loc_y_bin_size
+            y_bin) * loc_y_bin_size
         pos_y = (y_bin.astype(pred_reg.dtype) * loc_y_bin_size
                  + loc_y_bin_size / 2 - loc_y_scope + y_res)
         pos_y = pos_y + roi_box3d[:, 1]
@@ -75,9 +86,8 @@ def decode_bbox_target(roi_box3d, pred_reg, loc_scope, loc_bin_size,
         start += 1
 
     ry_bin = jnp.argmax(pred_reg[:, start: start + num_head_bin], axis=1)
-    ry_res_norm = jnp.take_along_axis(
-        pred_reg[:, start + num_head_bin: start + num_head_bin * 2],
-        ry_bin[:, None], axis=1)[:, 0]
+    ry_res_norm = _select_bin(
+        pred_reg[:, start + num_head_bin: start + num_head_bin * 2], ry_bin)
     if get_ry_fine:
         angle_per_class = (np.pi / 2) / num_head_bin
         ry = (ry_bin.astype(pred_reg.dtype) * angle_per_class
