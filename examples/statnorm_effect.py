@@ -125,7 +125,13 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse existing checkpoints when present")
+    ap.add_argument("--reverse", action="store_true",
+                    help="swap the domains (train on US-sized cars, test on "
+                         "KITTI-sized): the method is symmetric")
     args = ap.parse_args()
+    global KITTI_CARS, US_CARS
+    if args.reverse:
+        KITTI_CARS, US_CARS = US_CARS, KITTI_CARS
     args.out = os.path.abspath(args.out)
     os.makedirs(args.out, exist_ok=True)
 
