@@ -135,6 +135,23 @@ def main():
     args.out = os.path.abspath(args.out)
     os.makedirs(args.out, exist_ok=True)
 
+    # refuse to mix directions/settings in one output dir: a stale forward
+    # run's domains/stat caches/checkpoints would silently masquerade as the
+    # new configuration
+    marker_path = os.path.join(args.out, "domains.json")
+    marker = {"a_dims": list(KITTI_CARS), "b_dims": list(US_CARS),
+              "frames": args.frames}
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            prior = json.load(f)
+        if prior != marker:
+            raise SystemExit(
+                f"{args.out} holds a run with different domains/settings "
+                f"({prior} vs {marker}); use a fresh --out")
+    else:
+        with open(marker_path, "w") as f:
+            json.dump(marker, f)
+
     # 1. two domains with shifted car-size statistics
     dom_a = os.path.join(args.out, "domain_a")
     dom_b = os.path.join(args.out, "domain_b")

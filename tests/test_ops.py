@@ -466,15 +466,21 @@ def test_nearest_k_with_coords(rng):
 
 
 def test_group_points_precise_matches_gather(rng):
-    """precise=True must be bit-identical to the plain gather (used for
-    scene-frame pre-grouped activations where bf16 rounding would be
-    amplified by the later center-term cancellation)."""
-    from tpu3d.ops.grouping import group_points
+    """The exact one-hot path (what precise=True routes to on TPU) must be
+    bit-identical to the plain gather — it protects scene-frame pre-grouped
+    activations from the bf16 rounding that the later center-term
+    cancellation would amplify. Called directly because the group_points
+    dispatch is backend-gated (on CPU precise falls through to the gather)."""
+    from tpu3d.ops.grouping import _group_points_onehot_exact, group_points
 
     feats = (rng.normal(size=(2, 256, 32)) * 50).astype(np.float32)
     idx = rng.integers(0, 256, size=(2, 16, 8)).astype(np.int32)
     flat = idx.reshape(2, 16 * 8)
     ref = np.stack([feats[b][flat[b]] for b in range(2)]).reshape(2, 16, 8, 32)
-    got = np.asarray(group_points(jnp.asarray(feats), jnp.asarray(idx),
-                                  precise=True))
+    got = np.asarray(_group_points_onehot_exact(jnp.asarray(feats),
+                                                jnp.asarray(idx)))
     np.testing.assert_array_equal(got, ref)
+    # the public wrapper agrees on every backend
+    np.testing.assert_array_equal(
+        np.asarray(group_points(jnp.asarray(feats), jnp.asarray(idx),
+                                precise=True)), ref)

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bbox_codec import _select_bin
+
 
 def _masked_mean(x, mask):
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -52,9 +54,10 @@ def smooth_l1(pred, target):
 
 
 def softmax_ce(logits, label_idx):
-    """Per-row softmax cross entropy against integer labels."""
+    """Per-row softmax cross entropy against integer labels (log-prob pick as
+    a masked reduction — see bbox_codec._select_bin for why)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, label_idx[:, None], axis=1)[:, 0]
+    return -_select_bin(logp, label_idx)
 
 
 def get_reg_loss(pred_reg, reg_label, fg_mask, loc_scope, loc_bin_size,
@@ -99,12 +102,11 @@ def get_reg_loss(pred_reg, reg_label, fg_mask, loc_scope, loc_bin_size,
                                   + loc_bin_size / 2)) / loc_bin_size
         z_res_label = (z_shift - (z_bin.astype(z_shift.dtype) * loc_bin_size
                                   + loc_bin_size / 2)) / loc_bin_size
-        x_res_pred = jnp.take_along_axis(
-            pred_reg[:, start: start + per_loc_bin_num], x_bin[:, None],
-            axis=1)[:, 0]
-        z_res_pred = jnp.take_along_axis(
+        x_res_pred = _select_bin(
+            pred_reg[:, start: start + per_loc_bin_num], x_bin)
+        z_res_pred = _select_bin(
             pred_reg[:, start + per_loc_bin_num: start + per_loc_bin_num * 2],
-            z_bin[:, None], axis=1)[:, 0]
+            z_bin)
         loss_x_res = _masked_mean(smooth_l1(x_res_pred, x_res_label), fg)
         loss_z_res = _masked_mean(smooth_l1(z_res_pred, z_res_label), fg)
         reg_loss_dict["loss_x_res"] = loss_x_res
@@ -120,9 +122,9 @@ def get_reg_loss(pred_reg, reg_label, fg_mask, loc_scope, loc_bin_size,
                                   + loc_y_bin_size / 2)) / loc_y_bin_size
         loss_y_bin = _masked_mean(
             softmax_ce(pred_reg[:, start: start + loc_y_bin_num], y_bin), fg)
-        y_res_pred = jnp.take_along_axis(
+        y_res_pred = _select_bin(
             pred_reg[:, start + loc_y_bin_num: start + loc_y_bin_num * 2],
-            y_bin[:, None], axis=1)[:, 0]
+            y_bin)
         loss_y_res = _masked_mean(smooth_l1(y_res_pred, y_res_label), fg)
         reg_loss_dict["loss_y_bin"] = loss_y_bin
         reg_loss_dict["loss_y_res"] = loss_y_res
@@ -155,9 +157,8 @@ def get_reg_loss(pred_reg, reg_label, fg_mask, loc_scope, loc_bin_size,
 
     loss_ry_bin = _masked_mean(
         softmax_ce(pred_reg[:, start: start + num_head_bin], ry_bin), fg)
-    ry_res_pred = jnp.take_along_axis(
-        pred_reg[:, start + num_head_bin: start + num_head_bin * 2],
-        ry_bin[:, None], axis=1)[:, 0]
+    ry_res_pred = _select_bin(
+        pred_reg[:, start + num_head_bin: start + num_head_bin * 2], ry_bin)
     loss_ry_res = _masked_mean(smooth_l1(ry_res_pred, ry_res_label), fg)
     reg_loss_dict["loss_ry_bin"] = loss_ry_bin
     reg_loss_dict["loss_ry_res"] = loss_ry_res
