@@ -345,3 +345,68 @@ def test_remat_grads_match_nonremat(rng):
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_param_tree_independent_of_input_size(rng):
+    """The pre-grouped SA execution strategy (picked by a static-shape
+    condition) must NOT change the parameter tree: a model init'd at one N
+    restores/applies at any other N (ADVICE r2 medium)."""
+    from tpu3d.models.pointnet2 import PointnetSAModuleMSG
+
+    mod = PointnetSAModuleMSG(npoint=16, radii=(0.4, 0.8), nsamples=(8, 16),
+                              mlps=((8, 8), (8, 16)))
+    k = jax.random.PRNGKey(0)
+    xyz_small = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+    feats_small = jnp.asarray(rng.standard_normal((2, 32, 4)), jnp.float32)
+    xyz_big = jnp.asarray(rng.standard_normal((2, 1024, 3)), jnp.float32)
+    feats_big = jnp.asarray(rng.standard_normal((2, 1024, 4)), jnp.float32)
+    # 16*16 > 32 -> pregroup path; 16*8 <= 1024 -> plain path
+    v_pre = mod.init(k, xyz_small, feats_small)
+    v_plain = mod.init(k, xyz_big, feats_big)
+    paths = lambda v: set(jax.tree_util.tree_flatten_with_path(v)[0] and
+                          [jax.tree_util.keystr(p) for p, _ in
+                           jax.tree_util.tree_flatten_with_path(v)[0]])
+    assert paths(v_pre) == paths(v_plain)
+    # cross-apply: params init'd at the pregroup shape run the plain shape
+    out = mod.apply(v_pre, xyz_big, feats_big)
+    assert out[1].shape == (2, 16, 8 + 16)
+    out_pre = mod.apply(v_pre, xyz_small, feats_small)
+    assert out_pre[1].shape == (2, 16, 8 + 16)
+    assert np.isfinite(np.asarray(out_pre[1])).all()
+    # both strategies compute the same function from the same params
+    for kwargs in ({"force_pregroup": True}, {"force_pregroup": False}):
+        alt = PointnetSAModuleMSG(npoint=16, radii=(0.4, 0.8),
+                                  nsamples=(8, 16), mlps=((8, 8), (8, 16)),
+                                  **kwargs)
+        out_alt = alt.apply(v_pre, xyz_small, feats_small)
+        np.testing.assert_allclose(np.asarray(out_alt[1]),
+                                   np.asarray(out_pre[1]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pregroup_checkpoint_migration():
+    """Old (round-2) mlp_i_pre_kernel/_pre_bn/_rest checkpoint trees migrate
+    into the unified mlp_i/dense_j layout, including nested optimizer-state
+    mirrors."""
+    from tpu3d.utils.checkpoint import migrate_pregroup_params
+
+    old = {
+        "sa_0": {
+            "mlp_0_pre_kernel": np.ones((7, 8)),
+            "mlp_0_pre_bn": {"scale": np.ones(8), "bias": np.zeros(8)},
+            "mlp_0_rest": {
+                "dense_0": {"kernel": np.ones((8, 8))},
+                "bn_0": {"scale": np.ones(8), "bias": np.zeros(8)},
+            },
+            "mlp_1": {"dense_0": {"kernel": np.ones((7, 16))}},
+        },
+        "mu": {"sa_0": {"mlp_0_pre_kernel": np.zeros((7, 8))}},
+    }
+    new = migrate_pregroup_params(old)
+    assert "mlp_0_pre_kernel" not in new["sa_0"]
+    assert new["sa_0"]["mlp_0"]["dense_0"]["kernel"].shape == (7, 8)
+    assert new["sa_0"]["mlp_0"]["bn_0"]["scale"].shape == (8,)
+    assert new["sa_0"]["mlp_0"]["dense_1"]["kernel"].shape == (8, 8)
+    assert new["sa_0"]["mlp_0"]["bn_1"]["scale"].shape == (8,)
+    assert new["sa_0"]["mlp_1"]["dense_0"]["kernel"].shape == (7, 16)
+    assert new["mu"]["sa_0"]["mlp_0"]["dense_0"]["kernel"].shape == (7, 8)

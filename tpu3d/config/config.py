@@ -126,6 +126,11 @@ def _default_cfg() -> AttrDict:
         # SA activations from memory — enables larger per-chip batches /
         # point budgets when HBM-bound
         REMAT=False,
+        # TPU-only: keep the SA grouped-activation bf16 casts during training
+        # (halves the dominant gather/materialization traffic; convergence
+        # validated — AP_3D mod 90.2 on the synthetic full config). Set False
+        # for f32 reference-parity training numerics.
+        BF16_ACTIVATIONS=True,
         RPN_PRE_NMS_TOP_N=12000, RPN_POST_NMS_TOP_N=2048,
         RPN_NMS_THRESH=0.85, RPN_DISTANCE_BASED_PROPOSE=True,
     )

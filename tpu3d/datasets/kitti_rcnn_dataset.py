@@ -47,7 +47,9 @@ class KittiRCNNDataset(KittiDataset):
         # reference refines every saved proposal, eval_rcnn.py:263-460)
         try:
             self.MAX_ROI = int(self.cfg.TEST.RPN_POST_NMS_TOP_N)
-        except Exception:
+        except (AttributeError, KeyError):
+            # cfg without a TEST section (unit-test stubs): keep the class
+            # default; any other error (malformed value) must surface
             pass
         if classes == "Car":
             self.classes = ("Background", "Car")
@@ -241,11 +243,23 @@ class KittiRCNNDataset(KittiDataset):
             gt_boxes3d = _to_boxes(
                 self.filtrate_objects(self.get_label_objects(sample_id)))
             gt_iou = np.zeros(self.MAX_ROI, np.float32)
+            # canonical-frame matched gt per ROI so --train_with_eval can
+            # report the real reg loss (reference eval_epoch runs the full
+            # loss, train_utils.py:140-168); zeros where no gt matches
+            gt_ct = np.zeros((self.MAX_ROI, 7), np.float32)
             if len(gt_boxes3d) and m:
-                gt_iou[:m] = boxes_iou3d_numpy(
-                    rois_pad[:m], gt_boxes3d).max(axis=1)
+                iou = boxes_iou3d_numpy(rois_pad[:m], gt_boxes3d)
+                gt_iou[:m] = iou.max(axis=1)
+                gt_of = gt_boxes3d[iou.argmax(axis=1)]  # (m, 7)
+                roi_ry = rois_pad[:m, 6] % (2 * np.pi)
+                ct = gt_of.copy()
+                ct[:, 0:3] -= rois_pad[:m, 0:3]
+                ct[:, 0:3] = rotate_points_along_y(ct[:, 0:3], roi_ry)
+                ct[:, 6] -= roi_ry
+                gt_ct[:m] = ct
             sample["gt_boxes3d"] = self._pad_gt(gt_boxes3d)
             sample["gt_iou"] = gt_iou
+            sample["gt_boxes3d_ct"] = gt_ct
         return sample
 
     # ----- offline-RCNN training (features + rois dumped by an RPN eval run)

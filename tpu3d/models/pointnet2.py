@@ -76,13 +76,22 @@ class SharedMLP(nn.Module):
     dtype: Any = None  # Dense compute dtype (bf16 inference); params stay f32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, bn_momentum=0.9):
+    def __call__(self, x, train: bool = False, bn_momentum=0.9,
+                 first_pre=None):
+        """``first_pre``, when given, is a callable receiving the layer-0
+        Dense *module* and returning the layer-0 pre-activation directly
+        (``x`` is then ignored for layer 0). This lets callers restructure
+        the first matmul (e.g. the SA pre-group algebra) while keeping the
+        parameter tree identical to the plain path — checkpoints are
+        interchangeable regardless of which execution strategy ran."""
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, use_bias=not self.bn,
-                         kernel_init=nn.initializers.he_normal(),
-                         dtype=self.dtype,
-                         name=f"dense_{i}")(x)
+            dense = nn.Dense(ch, use_bias=not self.bn,
+                             kernel_init=nn.initializers.he_normal(),
+                             dtype=self.dtype,
+                             name=f"dense_{i}")
+            x = first_pre(dense) if (i == 0 and first_pre is not None) \
+                else dense(x)
             if self.bn:
                 x = BatchNorm(name=f"bn_{i}")(
                     x, use_running_average=not train, momentum=bn_momentum)
@@ -113,6 +122,14 @@ class PointnetSAModuleMSG(nn.Module):
     # bf16 only AFTER the subtraction (XLA fuses subtract+cast into the
     # gather's consumer).
     canonical: bool = False
+    # Allow the TPU bf16 activation casts during *training* too (they are
+    # always applied at eval). cfg.TRAIN.BF16_ACTIVATIONS wires this; set it
+    # False for f32 reference-parity training numerics.
+    train_bf16: bool = True
+    # Override the pre-group-vs-plain execution-strategy heuristic (None =
+    # pick by npoint*nsample vs N). Both strategies share one parameter tree
+    # and compute the same function — this is purely a scheduling choice.
+    force_pregroup: bool | None = None
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False, bn_momentum=0.9,
@@ -158,8 +175,10 @@ class PointnetSAModuleMSG(nn.Module):
                         chunk = None
                     idx = ball_query(new_xyz, xyz, radius, nsample,
                                      query_chunk=chunk)
-                if (features is not None
-                        and self.npoint * nsample > xyz.shape[1]):
+                pregroup = (self.force_pregroup
+                            if self.force_pregroup is not None
+                            else self.npoint * nsample > xyz.shape[1])
+                if features is not None and pregroup:
                     # pre-group first layer: the whole first Dense moves in
                     # front of the gather. With W = [W_x | W_f],
                     #   W @ [xyz[idx]-c ; f[idx]] =
@@ -168,45 +187,54 @@ class PointnetSAModuleMSG(nn.Module):
                     # a per-center correction replace the grouped-copy
                     # matmul AND the grouped-xyz gather (8.4 ms of pure
                     # gather at the RCNN SA_0 shape). Exact same
-                    # pre-activations, so BN statistics are unchanged.
-                    in_ch = features.shape[-1] + (3 if self.use_xyz else 0)
+                    # pre-activations AND the exact same parameter tree as
+                    # the plain path (the layer-0 Dense is driven through
+                    # SharedMLP's first_pre hook), so this shape-dependent
+                    # strategy choice never changes the checkpoint format.
                     cdt = self.dtype or features.dtype
-                    kernel = self.param(
-                        f"mlp_{i}_pre_kernel",
-                        nn.initializers.he_normal(), (in_ch, mlp[0]))
-                    kernel = kernel.astype(cdt)
-                    if self.use_xyz:
-                        pre = (xyz.astype(cdt) @ kernel[:3]
-                               + features.astype(cdt) @ kernel[3:])
-                    else:
-                        pre = features.astype(cdt) @ kernel
-                    if not self.bn:
-                        pre = pre + self.param(
-                            f"mlp_{i}_pre_bias", nn.initializers.zeros,
-                            (mlp[0],)).astype(cdt)
-                    on_tpu = jax.default_backend() == "tpu"
-                    if on_tpu and (self.canonical or not self.use_xyz):
-                        # canonical/feature-only frames: bf16 gather halves
-                        # the (B, M, S, C) materialization traffic safely
-                        pre = pre.astype(jnp.bfloat16)
-                    x = group_points(pre, idx,
-                                     precise=not self.canonical)
-                    if self.use_xyz:
-                        center_term = new_xyz.astype(cdt) @ kernel[:3]
-                        x = x - center_term[:, :, None, :].astype(x.dtype)
-                    if on_tpu and x.dtype == jnp.float32:
-                        # cast AFTER the cancellation: the residual is the
-                        # small local-geometry signal, safe in bf16
-                        x = x.astype(jnp.bfloat16)
-                    if self.bn:
-                        x = BatchNorm(name=f"mlp_{i}_pre_bn")(
-                            x, use_running_average=not train,
-                            momentum=bn_momentum)
-                    x = nn.relu(x)
-                    out = x if len(mlp) == 1 else SharedMLP(
-                        mlp[1:], bn=self.bn, dtype=self.dtype,
-                        name=f"mlp_{i}_rest")(x, train=train,
-                                              bn_momentum=bn_momentum)
+                    bf16_ok = (jax.default_backend() == "tpu"
+                               and (not train or self.train_bf16))
+
+                    def pre0(dense0, *, idx=idx, new_xyz=new_xyz, cdt=cdt):
+                        if self.use_xyz:
+                            inp = jnp.concatenate(
+                                [xyz, features], -1).astype(cdt)
+                        else:
+                            inp = features.astype(cdt)
+                        pre = dense0(inp)
+                        if bf16_ok and (self.canonical or not self.use_xyz):
+                            # canonical/feature-only frames: bf16 gather
+                            # halves the (B, M, S, C) materialization
+                            # traffic safely
+                            pre = pre.astype(jnp.bfloat16)
+                        x = group_points(pre, idx,
+                                         precise=not self.canonical)
+                        if self.use_xyz:
+                            # W_x@c (+ bias) via the same Dense on
+                            # zero-padded features; the grouped term already
+                            # carries one bias copy, so subtracting this one
+                            # leaves W@[xyz[idx]-c; f[idx]] — the bias is
+                            # restored once below when the Dense has one.
+                            zf = jnp.zeros(
+                                (*new_xyz.shape[:-1], features.shape[-1]),
+                                cdt)
+                            center = dense0(jnp.concatenate(
+                                [new_xyz.astype(cdt), zf], -1))
+                            x = x - center[:, :, None, :].astype(x.dtype)
+                            if not self.bn:  # Dense has a bias
+                                bias = dense0(jnp.zeros(
+                                    (1, inp.shape[-1]), cdt))
+                                x = x + bias.astype(x.dtype)
+                        if bf16_ok and x.dtype == jnp.float32:
+                            # cast AFTER the cancellation: the residual is
+                            # the small local-geometry signal, safe in bf16
+                            x = x.astype(jnp.bfloat16)
+                        return x
+
+                    out = SharedMLP(mlp, bn=self.bn, dtype=self.dtype,
+                                    name=f"mlp_{i}")(
+                        None, train=train, bn_momentum=bn_momentum,
+                        first_pre=pre0)
                     scale_features.append(jnp.max(out, axis=2))
                     continue
                 if cand_xyz is not None:
@@ -291,6 +319,7 @@ class Pointnet2MSG(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     dtype: Any = None
+    train_bf16: bool = True
 
     @nn.compact
     def __call__(self, pts_input, train: bool = False, bn_momentum=0.9):
@@ -304,6 +333,7 @@ class Pointnet2MSG(nn.Module):
                 npoint=self.npoints[k], radii=self.radii[k],
                 nsamples=self.nsamples[k], mlps=self.sa_mlps[k],
                 use_xyz=self.use_xyz, bn=self.bn, dtype=self.dtype,
+                train_bf16=self.train_bf16,
                 name=f"sa_{k}")(
                     l_xyz[k], l_features[k], train=train,
                     bn_momentum=bn_momentum)

@@ -58,6 +58,7 @@ class RCNNNet(nn.Module):
                 mlps=(tuple(c.SA_CONFIG.MLPS[k]),),
                 use_xyz=True, bn=c.USE_BN, query_chunk=None, dtype=dt,
                 canonical=True,  # per-ROI frame: |xyz| <= a few metres
+                train_bf16=bool(full.TRAIN.get("BF16_ACTIVATIONS", True)),
                 name=f"sa_{k}")(
                     l_xyz, l_features, train=train, bn_momentum=bn_momentum)
 

@@ -79,7 +79,9 @@ class RPN(nn.Module):
             nsamples=tuple(tuple(s) for s in sa.NSAMPLE),
             sa_mlps=tuple(tuple(tuple(m) for m in ms) for ms in sa.MLPS),
             fp_mlps=tuple(tuple(m) for m in c.RPN.FP_MLPS),
-            use_xyz=True, bn=c.RPN.USE_BN, dtype=dt, name="backbone")(
+            use_xyz=True, bn=c.RPN.USE_BN, dtype=dt,
+            train_bf16=bool(c.TRAIN.get("BF16_ACTIVATIONS", True)),
+            name="backbone")(
                 pts_input, train, bn_momentum)
 
         # focal init puts prior fg prob at 1% (reference: rpn.py:61-64)

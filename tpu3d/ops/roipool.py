@@ -10,10 +10,18 @@ Everything is one fused mask→prefix-sum→scatter→gather program: the analyt
 point-in-rotated-box test replaces the kernel's `check_pt_in_box3d`, and the
 wraparound fill is an index-mod, so there is no sequential loop at all — better
 than the CUDA original, which serializes the first-k scan per box.
+
+On TPU at eval shapes (n >= 4096) the first-k selection uses approx_min_k,
+which may occasionally swap one interior point for another via a lane
+collision — counts and the empty flag stay exact, but the pooled *set* is not
+bit-identical to the CUDA first-k-in-index-order choice (which is itself
+arbitrary). Set TPU3D_EXACT_ROIPOOL=1 to force the exact top_k path when
+bit-level parity matters (see docs/PARITY.md).
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -36,7 +44,8 @@ def _pool_one(pts: jnp.ndarray, feats: jnp.ndarray, boxes: jnp.ndarray,
         keys = jnp.concatenate(
             [keys, jnp.full((keys.shape[0], num_sampled - n), n, jnp.int32)],
             axis=1)
-    if jax.default_backend() == "tpu" and n >= 4096:
+    if (jax.default_backend() == "tpu" and n >= 4096
+            and not os.environ.get("TPU3D_EXACT_ROIPOOL")):
         # approx_min_k (PartialReduce) replaces the full top_k sort — several
         # times faster at the eval shape (100 ROIs x 16384 pts x k=512).
         # Which interior points fill the 512 slots is arbitrary (the CUDA

@@ -218,9 +218,14 @@ def make_eval_loss_step(cfg, model):
                                   -1)
             ret = dict(out)
             ret["cls_label"] = cls_label
-            ret["reg_valid_mask"] = jnp.zeros_like(cls_label)
+            # real reg loss on fg ROIs (reference eval_epoch runs the full
+            # loss): valid ROIs whose matched-gt IoU clears REG_FG_THRESH,
+            # targets = the loader's canonical-frame matched gt
+            ret["reg_valid_mask"] = (
+                (gt_iou > cfg.RCNN.REG_FG_THRESH)
+                & batch["roi_valid"].reshape(-1)).astype(jnp.int32)
             ret["roi_boxes3d"] = batch["roi_boxes3d"].reshape(-1, 7)
-            ret["gt_of_rois"] = jnp.zeros((cls_label.shape[0], 7))
+            ret["gt_of_rois"] = batch["gt_boxes3d_ct"].reshape(-1, 7)
             rcnn_loss, tb_rcnn = get_rcnn_loss(cfg, ret)
             loss = loss + rcnn_loss
             tb.update(tb_rcnn)

@@ -218,7 +218,7 @@ def main(argv=None):
     step_rng = jax.random.PRNGKey(args.seed + 1)
 
     VAL_KEYS = ("pts_input", "gt_boxes3d", "rpn_cls_label", "rpn_reg_label",
-                "gt_iou", "roi_valid", "roi_boxes3d")
+                "gt_iou", "roi_valid", "roi_boxes3d", "gt_boxes3d_ct")
 
     def eval_epoch(state, epoch):
         """Average val metrics over the loader (reference: eval_epoch,

@@ -18,6 +18,61 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_PRE_KERNEL = re.compile(r"^(mlp_\d+)_pre_kernel$")
+_PRE_BIAS = re.compile(r"^(mlp_\d+)_pre_bias$")
+_PRE_BN = re.compile(r"^(mlp_\d+)_pre_bn$")
+_PRE_REST = re.compile(r"^(mlp_\d+)_rest$")
+_LAYER = re.compile(r"^(dense|bn)_(\d+)$")
+
+
+def migrate_pregroup_params(tree):
+    """Rename the pre-round-3 pre-grouped SA parameter layout
+    (``mlp_i_pre_kernel`` / ``mlp_i_pre_bn`` / ``mlp_i_rest``) into the
+    unified ``mlp_i/dense_j`` + ``mlp_i/bn_j`` tree that both execution
+    strategies now share. Applied recursively, so it also fixes the
+    mirrored trees inside optimizer state. No-op on current checkpoints."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+
+    def _merge(name, sub):
+        dst = out.setdefault(name, {})
+        for k, v in sub.items():
+            dst[k] = v
+
+    for k, v in tree.items():
+        m = _PRE_KERNEL.match(k)
+        if m:
+            _merge(m.group(1), {"dense_0": {"kernel": v}})
+            continue
+        m = _PRE_BIAS.match(k)
+        if m:
+            dst = out.setdefault(m.group(1), {}).setdefault("dense_0", {})
+            dst["bias"] = v
+            continue
+        m = _PRE_BN.match(k)
+        if m:
+            _merge(m.group(1), {"bn_0": migrate_pregroup_params(v)})
+            continue
+        m = _PRE_REST.match(k)
+        if m and isinstance(v, dict):
+            shifted = {}
+            for lk, lv in v.items():
+                lm = _LAYER.match(lk)
+                if lm:
+                    shifted[f"{lm.group(1)}_{int(lm.group(2)) + 1}"] = \
+                        migrate_pregroup_params(lv)
+                else:
+                    shifted[lk] = migrate_pregroup_params(lv)
+            _merge(m.group(1), shifted)
+            continue
+        if isinstance(v, dict) and k in out:
+            _merge(k, migrate_pregroup_params(v))
+        else:
+            out[k] = migrate_pregroup_params(v)
+    return out
+
+
 def checkpoint_state(state, epoch: int) -> dict:
     return {
         "epoch": np.int32(epoch),
@@ -44,7 +99,8 @@ def load_checkpoint(path: str, state):
     with open(path, "rb") as f:
         payload = f.read()
     template = checkpoint_state(state, 0)
-    restored = flax.serialization.from_bytes(template, payload)
+    raw = migrate_pregroup_params(flax.serialization.msgpack_restore(payload))
+    restored = flax.serialization.from_state_dict(template, raw)
     state = state.replace(
         step=jnp.asarray(restored["step"]),
         params=restored["params"],
@@ -76,7 +132,7 @@ def load_part_ckpt(path: str, state, logger=None):
     (reference: train_utils.py:95-111 load_part_ckpt)."""
     with open(path, "rb") as f:
         payload = f.read()
-    raw = flax.serialization.msgpack_restore(payload)
+    raw = migrate_pregroup_params(flax.serialization.msgpack_restore(payload))
     updated = 0
     new_state = {}
     for field in ("params", "batch_stats"):
