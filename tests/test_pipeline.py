@@ -62,6 +62,32 @@ def test_batch_loader_padding(synth_root):
     assert total_valid == len(ds)
 
 
+
+def test_batch_loader_process_mode_matches_thread(synth_root):
+    """Fork-based process workers produce the same batches as thread workers
+    (same deterministic per-(seed, epoch, index) samples), across epochs."""
+    c = _cfg()
+    ds = KittiRCNNDataset(root_dir=synth_root, npoints=1024, split="train",
+                          mode="TRAIN", cfg=c, seed=11)
+    lt = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=1)
+    lp = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=1,
+                     worker_mode="process")
+    try:
+        for epoch in (0, 1):
+            lt.set_epoch(epoch)
+            lp.set_epoch(epoch)
+            bt, bp = list(lt), list(lp)
+            assert len(bt) == len(bp)
+            for a, b in zip(bt, bp):
+                assert sorted(a.keys()) == sorted(b.keys())
+                for k in a:
+                    if isinstance(a[k], np.ndarray):
+                        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+                    else:  # ragged python lists (aug_method)
+                        assert a[k] == b[k], k
+    finally:
+        lp.close()
+
 def test_gt_database_and_aug_scene(synth_root, tmp_path):
     from tpu3d.tools.generate_gt_database import GTDatabaseGenerator
 

@@ -1,22 +1,48 @@
 """Prefetching host-side batch loader (replaces torch DataLoader workers).
 
-Samples are built by a thread pool while the previous batch trains on device;
+Samples are built by a worker pool while the previous batch trains on device;
 batches are fixed-shape numpy dicts ready for a single host->device transfer.
+
+Two worker modes (reference: torch DataLoader num_workers,
+pointrcnn/tools/train_rcnn.py:79-90):
+- "thread" (default): a ThreadPoolExecutor. Sample building is numpy-heavy
+  and releases the GIL in spurts, but the python glue serializes — one core
+  of sample building at best. Enough to feed one chip (see
+  docs/LOADER_SCALING.md), and always safe.
+- "process": a fork-based pool; children inherit the dataset through fork
+  (no pickling) and return built samples over pipes. Scales with host
+  cores — required to feed a v5e-8's ~8x eval throughput. Fork the pool
+  BEFORE any TPU/JAX client is initialized in the parent (the CLIs create
+  their loaders first, which satisfies this).
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+# fork-inherited dataset handle for process workers (set in the parent right
+# before the pool forks; children read it by index)
+_FORK_DATASET = None
+
+
+def _fork_get(args):
+    """(idx, epoch) -> sample; the epoch rides along with every work item so
+    forked children stay in sync with parent set_epoch calls."""
+    idx, epoch = args
+    if getattr(_FORK_DATASET, "epoch", epoch) != epoch:
+        _FORK_DATASET.epoch = epoch
+    return _FORK_DATASET[idx]
+
 
 class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, worker_mode: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -24,7 +50,32 @@ class BatchLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.worker_mode = worker_mode
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"unknown worker_mode {worker_mode!r}")
         self.epoch = 0
+        self._pool = None
+
+    def _process_pool(self):
+        """Lazily fork the worker pool (kept across epochs)."""
+        if self._pool is None:
+            global _FORK_DATASET
+            _FORK_DATASET = self.dataset
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.dataset)
@@ -63,12 +114,22 @@ class BatchLoader:
 
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                if self.worker_mode == "process":
+                    pool = self._process_pool()
                     for idx, valid in self._batches():
-                        samples = list(pool.map(self.dataset.__getitem__, idx))
+                        samples = pool.map(
+                            _fork_get, [(int(i), self.epoch) for i in idx])
                         batch = self.dataset.collate_batch(samples)
                         batch["batch_valid"] = valid
                         q.put(batch)
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as tpool:
+                        for idx, valid in self._batches():
+                            samples = list(
+                                tpool.map(self.dataset.__getitem__, idx))
+                            batch = self.dataset.collate_batch(samples)
+                            batch["batch_valid"] = valid
+                            q.put(batch)
                 q.put(sentinel)
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
