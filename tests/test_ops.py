@@ -484,3 +484,41 @@ def test_group_points_precise_matches_gather(rng):
     np.testing.assert_array_equal(
         np.asarray(group_points(jnp.asarray(feats), jnp.asarray(idx),
                                 precise=True)), ref)
+
+
+def test_fps_with_3nn_fused_kernel_exact(rng):
+    """The fused FPS+3NN Pallas kernel (interpret mode) is bit-exact against
+    the FPS oracle and the stable-sort three_nn oracle, including duplicate
+    points (distance ties break to the earlier pick / lower index)."""
+    from tpu3d.ops.interpolate import three_nn_numpy
+    from tpu3d.ops.sampling import _fps3nn_pallas, furthest_point_sample_numpy
+
+    B, N, P = 2, 384, 96
+    xyz = rng.normal(0, 10, (B, N, 3)).astype(np.float32)
+    xyz[0, 7] = xyz[0, 3]  # duplicates: tie semantics
+    xyz[1, 100:104] = xyz[1, 0]
+    idx, d2, nni = _fps3nn_pallas(jnp.asarray(xyz), P, interpret=True)
+    ref_idx = furthest_point_sample_numpy(xyz, P)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    centers = np.take_along_axis(xyz, ref_idx[..., None], axis=1)
+    ref_d, ref_i = three_nn_numpy(xyz, centers)
+    np.testing.assert_array_equal(np.asarray(nni), ref_i)
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), ref_d,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fps_with_3nn_fallback_matches(rng):
+    """The non-Pallas fallback of furthest_point_sample_with_3nn returns the
+    same indices and (squared) distances as separate FPS + three_nn."""
+    from tpu3d.ops import (furthest_point_sample, gather_points,
+                           furthest_point_sample_with_3nn, three_nn)
+
+    xyz = jnp.asarray(rng.normal(0, 5, (2, 256, 3)), jnp.float32)
+    idx, d2, nni = furthest_point_sample_with_3nn(xyz, 64)
+    ref_idx = furthest_point_sample(xyz, 64)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    dist, ref_nn = three_nn(xyz, gather_points(xyz, ref_idx),
+                            differentiable=False)
+    np.testing.assert_array_equal(np.asarray(nni), np.asarray(ref_nn))
+    np.testing.assert_allclose(np.asarray(d2),
+                               np.asarray(dist) ** 2, rtol=1e-5, atol=1e-6)

@@ -104,18 +104,27 @@ class PointRCNN(nn.Module):
                         [target["sampled_pts"], target["pts_feature"]], axis=2)
                     output.update(target)
                 else:
-                    pooled, empty = roipool3d(
-                        backbone_xyz, pts_feature, rois,
+                    feats_g = pts_feature
+                    if jax.default_backend() == "tpu":
+                        # bf16 feature table halves the roipool gather's
+                        # random-read + write traffic (~5.5 ms item in the
+                        # eval trace); xyz stays f32 for the canonical
+                        # transform. Same numerics policy as the SA/FP bf16
+                        # activation casts.
+                        feats_g = pts_feature.astype(jnp.bfloat16)
+                    pooled_xyz, pooled_feats, empty = roipool3d(
+                        backbone_xyz, feats_g, rois,
                         float(c.RCNN.POOL_EXTRA_WIDTH),
-                        int(c.RCNN.NUM_POINTS))
+                        int(c.RCNN.NUM_POINTS), split=True)
                     # canonical transform (reference: rcnn_net.py:146-152)
                     roi_center = rois[..., 0:3]
-                    pooled = pooled.at[..., 0:3].add(
-                        -roi_center[:, :, None, :])
-                    pooled = pooled.at[..., 0:3].set(rotate_points_along_y(
-                        pooled[..., 0:3], rois[..., 6][..., None]))
-                    pts_input = pooled.reshape(-1, pooled.shape[2],
-                                               pooled.shape[3])
+                    pooled_xyz = rotate_points_along_y(
+                        pooled_xyz - roi_center[:, :, None, :],
+                        rois[..., 6][..., None])
+                    k_pts = pooled_xyz.shape[2]
+                    pts_input = (pooled_xyz.reshape(-1, k_pts, 3),
+                                 pooled_feats.reshape(
+                                     -1, k_pts, pooled_feats.shape[3]))
                     output["pooled_empty_flag"] = empty
 
                 rcnn_out = RCNNNet(cfg=c, num_classes=self.num_classes,

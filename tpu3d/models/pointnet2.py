@@ -20,9 +20,11 @@ import jax.numpy as jnp
 from ..ops import (
     ball_query,
     furthest_point_sample,
+    furthest_point_sample_with_3nn,
     gather_points,
     group_points,
     interpolation_weights,
+    nn_dist_from_idx,
     three_interpolate,
     three_nn,
 )
@@ -284,15 +286,37 @@ class PointnetFPModule(nn.Module):
     mlp: Sequence[int]
     bn: bool = True
     dtype: Any = None
+    train_bf16: bool = True
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
-                 train: bool = False, bn_momentum=0.9):
+                 train: bool = False, bn_momentum=0.9, cached_nn=None):
+        """cached_nn: optional (d2 (B, M, 3), idx (B, M, 3)) from the fused
+        FPS+3NN kernel (ops.furthest_point_sample_with_3nn) — the encoder
+        already knows each point's 3 nearest sampled centers, so the FP-level
+        neighbor search is free."""
         if known is not None:
-            # eval skips the differentiable distance recompute (a 400k-row
-            # coordinate gather at FP_0); the CUDA op has no dist grad either
-            dist, idx = three_nn(unknown, known, differentiable=train)
+            if cached_nn is not None:
+                d2c, idx = cached_nn
+                # training recomputes picked distances differentiably (the
+                # kernel's d2 has no grad), eval takes them as-is — exactly
+                # three_nn's differentiable/non-differentiable split
+                dist = (nn_dist_from_idx(unknown, known, idx) if train
+                        else jnp.sqrt(jnp.maximum(d2c, 0.0)))
+            else:
+                # eval skips the differentiable distance recompute (a 400k-row
+                # coordinate gather at FP_0); the CUDA op has no dist grad
+                # either
+                dist, idx = three_nn(unknown, known, differentiable=train)
             weight = interpolation_weights(dist)
+            if (jax.default_backend() == "tpu"
+                    and (not train or self.train_bf16)
+                    and known_feats.dtype == jnp.float32):
+                # bf16 source features halve the interpolation gather's
+                # random-read + write traffic (FP_0 gathers a 400k-row
+                # (3, 256)-channel block); same treatment as the SA bf16
+                # activation casts, gated by the same flag
+                known_feats = known_feats.astype(jnp.bfloat16)
             interpolated = three_interpolate(known_feats, idx, weight)
         else:
             interpolated = jnp.broadcast_to(
@@ -328,7 +352,19 @@ class Pointnet2MSG(nn.Module):
         features = pts_input[..., 3:] if pts_input.shape[-1] > 3 else None
 
         l_xyz, l_features = [xyz], [features]
+        cached_nn = []  # per level: (d2, idx) of each point's 3-NN centers
         for k in range(len(self.npoints)):
+            if self.npoints[k] is None:
+                new_xyz = None
+                cached_nn.append(None)
+            else:
+                # fused FPS + exact 3-NN-to-the-sampled-set: the FP decoder's
+                # three_nn at this level rides along with the sampling pass
+                # (ops.furthest_point_sample_with_3nn)
+                fps_idx, nn_d2, nn_idx = furthest_point_sample_with_3nn(
+                    l_xyz[k], self.npoints[k])
+                new_xyz = gather_points(l_xyz[k], fps_idx)
+                cached_nn.append((nn_d2, nn_idx))
             li_xyz, li_features = PointnetSAModuleMSG(
                 npoint=self.npoints[k], radii=self.radii[k],
                 nsamples=self.nsamples[k], mlps=self.sa_mlps[k],
@@ -336,7 +372,7 @@ class Pointnet2MSG(nn.Module):
                 train_bf16=self.train_bf16,
                 name=f"sa_{k}")(
                     l_xyz[k], l_features[k], train=train,
-                    bn_momentum=bn_momentum)
+                    bn_momentum=bn_momentum, new_xyz=new_xyz)
             l_xyz.append(li_xyz)
             l_features.append(li_features)
 
@@ -344,8 +380,10 @@ class Pointnet2MSG(nn.Module):
         for i in range(n_fp - 1, -1, -1):
             l_features[i] = PointnetFPModule(
                 mlp=self.fp_mlps[i], bn=self.bn, dtype=self.dtype,
+                train_bf16=self.train_bf16,
                 name=f"fp_{i}")(
                     l_xyz[i], l_xyz[i + 1], l_features[i], l_features[i + 1],
-                    train=train, bn_momentum=bn_momentum)
+                    train=train, bn_momentum=bn_momentum,
+                    cached_nn=cached_nn[i] if i < len(cached_nn) else None)
 
         return l_xyz[0], l_features[0].astype(jnp.float32)

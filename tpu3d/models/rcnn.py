@@ -25,29 +25,35 @@ class RCNNNet(nn.Module):
     def __call__(self, pts_input, train: bool = False, bn_momentum=0.9):
         """pts_input (M, K, input_ch) where the first
         3 + use_intensity + use_mask + use_depth channels are the "xyz block"
-        (reference: rcnn_net.py:22-24, 167-179).
+        (reference: rcnn_net.py:22-24, 167-179) — or a ``(xyz (M, K, 3),
+        rest (M, K, input_ch - 3))`` tuple, which keeps the bf16 pooled
+        features apart from the f32 coordinates (no promoting concat).
         Returns dict(rcnn_cls (M, 1), rcnn_reg (M, C))."""
         full = as_attrdict(self.cfg)
         c = full.RCNN
         dt = (jnp.bfloat16
               if (not train and bool(full.get("BF16_INFERENCE", False)))
               else None)
-        xyz = pts_input[..., 0:3]
+        if isinstance(pts_input, tuple):
+            xyz, rest = pts_input
+        else:
+            xyz, rest = pts_input[..., 0:3], pts_input[..., 3:]
 
         if c.USE_RPN_FEATURES:
-            rcnn_input_channel = (3 + int(c.USE_INTENSITY) + int(c.USE_MASK)
-                                  + int(c.USE_DEPTH))
-            xyz_block = pts_input[..., 0:rcnn_input_channel]
-            rpn_feats = pts_input[..., rcnn_input_channel:]
+            n_ext = int(c.USE_INTENSITY) + int(c.USE_MASK) + int(c.USE_DEPTH)
+            xyz_block = jnp.concatenate(
+                [xyz, rest[..., 0:n_ext].astype(xyz.dtype)], axis=-1)
+            rpn_feats = rest[..., n_ext:]
             xyz_feature = SharedMLP(tuple(c.XYZ_UP_LAYER), bn=c.USE_BN,
                                     dtype=dt, name="xyz_up")(
                 xyz_block, train=train, bn_momentum=bn_momentum)
-            merged = jnp.concatenate([xyz_feature, rpn_feats], axis=-1)
+            merged = jnp.concatenate(
+                [xyz_feature, rpn_feats.astype(xyz_feature.dtype)], axis=-1)
             features = SharedMLP((c.XYZ_UP_LAYER[-1],), bn=c.USE_BN,
                                  dtype=dt, name="merge_down")(
                 merged, train=train, bn_momentum=bn_momentum)
         else:
-            features = pts_input[..., 3:]
+            features = rest
 
         l_xyz, l_features = xyz, features
         for k in range(len(c.SA_CONFIG.NPOINTS)):

@@ -58,7 +58,11 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
     B, M, _ = centers.shape
     N = pts.shape[1]
     NPAD = _round_up(N, 128)
-    W = next(w for w in (512, 256, 128) if NPAD % w == 0)
+    # the k-pick epilogue costs k reduction passes over (tile_m, W): at
+    # k <= 32 a 256-lane candidate window halves that for a negligible rise
+    # in lane collisions (still ~8 candidate slots per pick)
+    w_pref = (256, 128) if (k <= 32 and NPAD >= 2048) else (512, 256, 128)
+    W = next(w for w in w_pref if NPAD % w == 0)
     NB = NPAD // W
     # working set ~6 (9 with coords) live (tile_m, W) f32 arrays (+ Mosaic
     # temps); measured fastest at the 4MB budget — bigger tiles were slower

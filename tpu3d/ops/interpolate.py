@@ -169,6 +169,18 @@ def _three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
             jnp.transpose(idx_o, (0, 2, 1)))  # ((B,M,3) d2, (B,M,3) idx)
 
 
+def nn_dist_from_idx(unknown: jnp.ndarray, known: jnp.ndarray,
+                     idx: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable recompute of the picked 3-NN distances from coordinates
+    ((B, M, 3) queries, (B, N, 3) sources, (B, M, 3) idx) — the training path
+    of three_nn, shared by the fused FPS+3NN route."""
+    B, M, _ = idx.shape
+    picked = jnp.take_along_axis(
+        known, idx.reshape(B, M * 3)[..., None], axis=1).reshape(B, M, 3, 3)
+    d2 = jnp.sum((unknown[:, :, None, :] - picked) ** 2, axis=-1)
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
 @jax.jit
 def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
                       weight: jnp.ndarray) -> jnp.ndarray:

@@ -124,6 +124,136 @@ def _fps_pallas(xyz: jnp.ndarray, npoint: int,
     )(xyz_t)
 
 
+@partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sample_with_3nn(xyz: jnp.ndarray, npoint: int):
+    """Fused FPS + exact 3-NN-to-the-sampled-set.
+
+    (B, N, 3) -> (fps_idx (B, npoint) i32,
+                  nn_d2 (B, N, 3) f32, nn_idx (B, N, 3) i32).
+
+    The PointNet++ encoder immediately needs (SA) the FPS centers and (FP,
+    later) each original point's 3 nearest *among those same centers*
+    (interpolate_gpu.cu three_nn with known = sampled subset). FPS already
+    evaluates every (point, center) distance once to maintain its running
+    min, so a per-point top-3 (d², step-index) tracker inside the pick loop
+    produces the FP-level three_nn for free — the running min IS the top-1,
+    and the registers come out sorted. This deletes the standalone 14 ms
+    FP_0 three_nn sweep from the eval trace (see docs/ROUND3_NOTES.md).
+
+    nn_idx values are positions into the sampled list (= what three_nn
+    returns against gather(xyz, fps_idx)); ties break to the earlier pick,
+    which is the lower known-index — identical to the standalone kernel and
+    the CUDA scan. Requires npoint >= 3 for meaningful top-3 (smaller
+    npoint falls back).
+    """
+    import os
+
+    B, N, _ = xyz.shape
+    vmem_ok = B * N * 4 * 16 < 28 * 1024 * 1024
+    if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 256
+            and npoint >= 3 and vmem_ok
+            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
+        return _fps3nn_pallas(xyz, npoint)
+    idx = furthest_point_sample(xyz, npoint)
+    from .interpolate import three_nn
+
+    centers = gather_points(xyz, idx)
+    dist, nn_idx = three_nn(xyz, centers, differentiable=False)
+    return idx, dist * dist, nn_idx
+
+
+def _fps3nn_pallas(xyz: jnp.ndarray, npoint: int,
+                   interpret: bool = False):
+    """Batch-in-kernel fused FPS + top-3 (see furthest_point_sample_with_3nn).
+
+    State per point: sorted (d1, i1, d2, i2, d3, i3) registers as fori_loop
+    carries; each pick iteration folds the newest center via a 5-op min/max
+    insertion network (same network as interpolate._three_nn_pallas). The
+    epilogue folds the final center (which FPS itself never needs). ~15 live
+    (B, N) f32/i32 arrays — the scoped-VMEM request is raised accordingly.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, _ = xyz.shape
+    xyz_t = jnp.transpose(xyz, (2, 0, 1))  # (3, B, N)
+
+    def kernel(xyz_ref, out_ref, nn_d_ref, nn_i_ref):
+        x = xyz_ref[0]  # (B, N)
+        y = xyz_ref[1]
+        z = xyz_ref[2]
+        out_ref[...] = jnp.zeros((B, npoint), jnp.int32)
+
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+        out_cols = jax.lax.broadcasted_iota(jnp.int32, (B, npoint), 1)
+        inf = jnp.full((B, N), jnp.inf, jnp.float32)
+        zeros = jnp.zeros((B, N), jnp.int32)
+
+        def fold(carry, last_idx, pos):
+            """Fold the center at sampled-position ``pos`` (point index
+            ``last_idx``) into every point's sorted top-3."""
+            d1, i1, d2, i2, d3, i3 = carry
+            sel = col_ids == last_idx[:, None]
+            lx = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+            ly = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+            lz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+            m = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+            c1 = m < d1
+            c2 = m < d2
+            c3 = m < d3
+            y1 = jnp.maximum(d1, m)
+            d1n = jnp.minimum(d1, m)
+            y2 = jnp.maximum(d2, y1)
+            d2n = jnp.minimum(d2, y1)
+            d3n = jnp.minimum(d3, y2)
+            i1n = jnp.where(c1, pos, i1)
+            i2n = jnp.where(c2, jnp.where(c1, i1, pos), i2)
+            i3n = jnp.where(c3, jnp.where(c2, i2, pos), i3)
+            return d1n, i1n, d2n, i2n, d3n, i3n
+
+        def body(j, carry):
+            *top, last = carry
+            top = fold(tuple(top), last, j - 1)
+            mind = top[0]  # running FPS min = per-point top-1
+            best = jnp.max(mind, axis=1, keepdims=True)
+            nxt = jnp.min(jnp.where(mind == best, col_ids, N), axis=1)
+            out_ref[...] = jnp.where(out_cols == j, nxt[:, None], out_ref[...])
+            return (*top, nxt)
+
+        *top, last = jax.lax.fori_loop(
+            1, npoint, body,
+            (inf, zeros, inf, zeros, inf, zeros, jnp.zeros((B,), jnp.int32)))
+        d1, i1, d2, i2, d3, i3 = fold(tuple(top), last, npoint - 1)
+        nn_d_ref[0] = d1
+        nn_d_ref[1] = d2
+        nn_d_ref[2] = d3
+        nn_i_ref[0] = i1
+        nn_i_ref[1] = i2
+        nn_i_ref[2] = i3
+
+    vmem_bytes = min(110 * 1024 * 1024,
+                     max(24 * 1024 * 1024, B * N * 4 * 24))
+    try:
+        params = pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
+    except AttributeError:  # older pallas API name
+        params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_bytes)
+    out, nn_d, nn_i = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+            jax.ShapeDtypeStruct((3, B, N), jnp.float32),
+            jax.ShapeDtypeStruct((3, B, N), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        compiler_params=params,
+        interpret=interpret,
+    )(xyz_t)
+    return out, jnp.transpose(nn_d, (1, 2, 0)), jnp.transpose(nn_i, (1, 2, 0))
+
+
 @jax.jit
 def gather_points(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(B, N, C) gathered by (B, M) -> (B, M, C)."""
