@@ -392,6 +392,9 @@ def test_pregroup_checkpoint_migration():
 
     old = {
         "sa_0": {
+            # bias listed BEFORE kernel (msgpack sorts keys): the merge must
+            # not clobber the partially-built dense_0 dict
+            "mlp_0_pre_bias": np.zeros(8),
             "mlp_0_pre_kernel": np.ones((7, 8)),
             "mlp_0_pre_bn": {"scale": np.ones(8), "bias": np.zeros(8)},
             "mlp_0_rest": {
@@ -405,6 +408,7 @@ def test_pregroup_checkpoint_migration():
     new = migrate_pregroup_params(old)
     assert "mlp_0_pre_kernel" not in new["sa_0"]
     assert new["sa_0"]["mlp_0"]["dense_0"]["kernel"].shape == (7, 8)
+    assert new["sa_0"]["mlp_0"]["dense_0"]["bias"].shape == (8,)
     assert new["sa_0"]["mlp_0"]["bn_0"]["scale"].shape == (8,)
     assert new["sa_0"]["mlp_0"]["dense_1"]["kernel"].shape == (8, 8)
     assert new["sa_0"]["mlp_0"]["bn_1"]["scale"].shape == (8,)

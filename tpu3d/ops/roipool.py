@@ -32,7 +32,7 @@ from .box_geometry import enlarge_box3d, points_in_boxes3d
 
 
 def _pool_one(pts: jnp.ndarray, feats: jnp.ndarray, boxes: jnp.ndarray,
-              num_sampled: int):
+              num_sampled: int, gather_xyz: bool = True):
     """(N, 3) pts, (N, C) feats, (M, 7) boxes -> ((M, K, 3+C), (M,) empty flag)."""
     n = pts.shape[0]
     inside = points_in_boxes3d(pts, boxes).T  # (M, N)
@@ -80,13 +80,17 @@ def _pool_one(pts: jnp.ndarray, feats: jnp.ndarray, boxes: jnp.ndarray,
                            precision="highest").astype(jnp.int32)
     else:
         slots = jnp.take_along_axis(slots, src, axis=1)  # (M, K)
-    # gather xyz and features separately: the feature table may be bf16
-    # (halves the dominant random-read + write traffic of this 400k-row
-    # gather) while coordinates stay f32 for the canonical transform
-    px = pts[slots]  # (M, K, 3)
+    # one row gather: the feature table may be bf16 (halves the dominant
+    # random-read + write traffic of this 400k-row gather); callers that
+    # embed the coordinates in the table (bf16 hi/lo pair) skip the second
+    # xyz gather, which is pure row-latency (2.4 ms for 4.9 MB at the eval
+    # shape)
     pf = feats[slots]  # (M, K, C)
-    px = jnp.where(empty[:, None, None], jnp.zeros((), px.dtype), px)
     pf = jnp.where(empty[:, None, None], jnp.zeros((), pf.dtype), pf)
+    if not gather_xyz:
+        return None, pf, empty
+    px = pts[slots]  # (M, K, 3)
+    px = jnp.where(empty[:, None, None], jnp.zeros((), px.dtype), px)
     return px, pf, empty
 
 
@@ -104,11 +108,16 @@ def roipool3d(pts: jnp.ndarray, feats: jnp.ndarray, boxes3d: jnp.ndarray,
     :param num_sampled: K points per ROI (cfg.RCNN.NUM_POINTS = 512)
     :param split: True returns ((B, M, K, 3) xyz, (B, M, K, C) feats, empty)
         without concatenating (keeps mixed dtypes apart); False returns the
-        classic ((B, M, K, 3 + C) pooled, (B, M) bool empty)
+        classic ((B, M, K, 3 + C) pooled, (B, M) bool empty).
+        split="features" skips the xyz gather entirely and returns
+        (None, feats, empty) — for callers embedding the coordinates in the
+        feature table as a bf16 hi/lo pair.
     """
     big = enlarge_box3d(boxes3d, pool_extra_width)
     px, pf, empty = jax.vmap(
-        lambda p, f, b: _pool_one(p, f, b, num_sampled))(pts, feats, big)
+        lambda p, f, b: _pool_one(p, f, b, num_sampled,
+                                  gather_xyz=split != "features"))(
+        pts, feats, big)
     if split:
         return px, pf, empty
     return jnp.concatenate([px, pf.astype(px.dtype)], axis=-1), empty

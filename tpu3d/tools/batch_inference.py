@@ -26,25 +26,35 @@ def get_true_name(model_name, data_name, far_points, cfg_name="default",
 
 
 def gen_cmd(model_ckpt, data_name, out_name, cfg_name="default", batch_size=8,
-            extra_flags=()):
+            extra_flags=(), data_root_base="multi_data", eval_mode="rcnn",
+            out_base="output/rcnn", known=("kitti", "argo", "nusc", "lyft",
+                                           "waymo")):
     if cfg_name == "double":
         batch_size = 4
+    cfg_file = (f"configs/{cfg_name}.yaml" if not cfg_name.endswith(".yaml")
+                else cfg_name)
     cmd = [
         "python", "-m", "tpu3d.tools.eval_rcnn",
-        "--cfg_file", f"configs/{cfg_name}.yaml",
-        "--ckpt", model_ckpt,
+        "--cfg_file", cfg_file,
+        "--ckpt" if model_ckpt.endswith(".msgpack") else "--ckpt_dir",
+        model_ckpt,
         "--batch_size", str(batch_size),
-        "--eval_mode", "rcnn",
-        "--data_root", f"multi_data/{data_name}",
-        "--dataset", "argo" if data_name.startswith("argo") else data_name,
-        "--output_dir", f"output/rcnn/{out_name}",
+        "--eval_mode", eval_mode,
+        "--data_root", os.path.join(data_root_base, data_name),
+        "--output_dir", os.path.join(out_base, out_name),
     ]
+    base = data_name.split("_")[0]
+    if base.startswith("argo"):
+        base = "argo"
+    if base in known:  # synthetic domains keep the default calib/convention
+        cmd += ["--dataset", base]
     cmd += list(extra_flags)
     return cmd
 
 
 def gen_commands(model_paths: dict, data_names, far_points, cfg_name="default",
-                 one2one=False, extra_flags=()):
+                 one2one=False, extra_flags=(), data_root_base="multi_data",
+                 eval_mode="rcnn", out_base="output/rcnn"):
     pairs = (zip(model_paths.keys(), data_names) if one2one
              else itertools.product(model_paths.keys(), data_names))
     for model_name, data_name in pairs:
@@ -52,7 +62,9 @@ def gen_commands(model_paths: dict, data_names, far_points, cfg_name="default",
             yield gen_cmd(
                 model_paths[model_name], data_name,
                 get_true_name(model_name, data_name, fp, cfg_name),
-                cfg_name, extra_flags=extra_flags)
+                cfg_name, extra_flags=extra_flags,
+                data_root_base=data_root_base, eval_mode=eval_mode,
+                out_base=out_base)
 
 
 def main(argv=None):
@@ -64,13 +76,21 @@ def main(argv=None):
                         default=["kitti", "argo", "nusc", "lyft", "waymo"])
     parser.add_argument("--far_points", type=int, nargs="+", default=[4000])
     parser.add_argument("--one2one", action="store_true")
+    parser.add_argument("--data_root_base", default="multi_data",
+                        help="datasets live at <base>/<name> (synthetic "
+                             "domain dirs work too)")
+    parser.add_argument("--eval_mode", default="rcnn",
+                        choices=("rcnn", "joint", "rpn", "rcnn_offline"))
+    parser.add_argument("--out_base", default="output/rcnn")
     parser.add_argument("--dry_run", action="store_true",
                         help="print commands without running")
     args = parser.parse_args(argv)
 
     model_paths = dict(m.split("=", 1) for m in args.models)
     for cmd in gen_commands(model_paths, args.datasets, args.far_points,
-                            args.cfg, args.one2one):
+                            args.cfg, args.one2one,
+                            data_root_base=args.data_root_base,
+                            eval_mode=args.eval_mode, out_base=args.out_base):
         print(" ".join(cmd))
         if not args.dry_run:
             subprocess.run(cmd, check=True)

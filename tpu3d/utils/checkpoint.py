@@ -35,10 +35,15 @@ def migrate_pregroup_params(tree):
         return tree
     out = {}
 
-    def _merge(name, sub):
-        dst = out.setdefault(name, {})
+    def _deep_merge(dst, sub):
         for k, v in sub.items():
-            dst[k] = v
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                _deep_merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    def _merge(name, sub):
+        _deep_merge(out.setdefault(name, {}), sub)
 
     for k, v in tree.items():
         m = _PRE_KERNEL.match(k)
