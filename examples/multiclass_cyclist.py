@@ -85,8 +85,11 @@ def main():
                                 "label_2"),
         label_split_file=os.path.join(root, "KITTI", "ImageSets", "val.txt"),
         metric="new", current_class=current)
-    results = {k: float(v) for k, v in ret.items()
-               if "3d" in k or "bev" in k}
+    # the evaluator's ret_dict hardcodes "Car_" key names regardless of
+    # current_class (reference parity quirk, eval2.py:711-719) — relabel with
+    # the class actually evaluated for the study summary
+    results = {k.replace("Car_", f"{args.classes}_"): float(v)
+               for k, v in ret.items() if "3d" in k or "bev" in k}
     summary = {"classes": args.classes, "epochs": args.epochs,
                "cyclist_anchor": bool(args.cyclist_anchor),
                "results": results}
