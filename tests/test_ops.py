@@ -5,6 +5,7 @@ import math
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from tpu3d import ops
@@ -278,6 +279,55 @@ def test_three_interpolate_onehot_matches_gather(rng):
     err = np.abs(fast - exact)
     assert err.max() < 0.05
     assert (err / (np.abs(exact) + 1.0)).mean() < 0.005
+
+@pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 2 * 96])
+def test_three_interpolate_mxu_vjp_matches_autodiff(rng, chunk_bytes,
+                                                    monkeypatch):
+    """The custom VJP (chunked one-hot MXU matmul feature grad + regather
+    weight grad — the TPU N>1024 training path) must match the plain
+    formulation's autodiff within bf16 matmul tolerance, chunked and not."""
+    from tpu3d.ops import interpolate as interp_mod
+    from tpu3d.ops.interpolate import (_three_interpolate_gather_mxu_vjp,
+                                       _ti_gather_fwd_impl)
+
+    if chunk_bytes is not None:
+        # shrink the budget so the (M=384)-column grad runs as 4 scan chunks
+        monkeypatch.setattr(interp_mod, "_ONEHOT_CHUNK_BYTES", chunk_bytes)
+
+    B, N, M, C = 2, 160, 384, 32
+    feats = rng.normal(size=(B, N, C)).astype(np.float32)
+    idx = rng.integers(0, N, size=(B, M, 3)).astype(np.int32)
+    w = rng.random((B, M, 3)).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    g = rng.normal(size=(B, M, C)).astype(np.float32)
+
+    def ref_loss(f, wt):
+        return jnp.sum(_ti_gather_fwd_impl(f, jnp.asarray(idx), wt)
+                       * jnp.asarray(g))
+
+    def custom_loss(f, wt):
+        return jnp.sum(_three_interpolate_gather_mxu_vjp(
+            f, jnp.asarray(idx), wt) * jnp.asarray(g))
+
+    gf_ref, gw_ref = jax.grad(ref_loss, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(w))
+    gf, gw = jax.grad(custom_loss, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(w))
+    # weight grad is computed in f32 (regather + dot) — tight tolerance;
+    # feature grad rides bf16 one-hot matmuls — bf16 rounding budget
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-5, atol=1e-5)
+    err = np.abs(np.asarray(gf) - np.asarray(gf_ref))
+    assert err.max() < 0.1
+    assert (err / (np.abs(np.asarray(gf_ref)) + 1.0)).mean() < 0.01
+
+    # forward value is the identical gather formulation
+    np.testing.assert_array_equal(
+        np.asarray(_three_interpolate_gather_mxu_vjp(
+            jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w))),
+        np.asarray(_ti_gather_fwd_impl(
+            jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w))))
+
 
 # ------------------------------------------------------------------- roipool
 

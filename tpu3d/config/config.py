@@ -131,6 +131,12 @@ def _default_cfg() -> AttrDict:
         # validated — AP_3D mod 90.2 on the synthetic full config). Set False
         # for f32 reference-parity training numerics.
         BF16_ACTIVATIONS=True,
+        # TPU-only: run the Dense/conv matmuls of the backbone, RCNN SA stack
+        # and heads in bf16 during training (MXU native dtype; f32 MXU
+        # accumulation, f32 params/optimizer state, f32 BN stats, f32
+        # layer-0 scene-frame Dense — see pointnet2.SharedMLP.first_f32).
+        # Set False for f32 reference-parity training numerics.
+        BF16_MATMULS=True,
         RPN_PRE_NMS_TOP_N=12000, RPN_POST_NMS_TOP_N=2048,
         RPN_NMS_THRESH=0.85, RPN_DISTANCE_BASED_PROPOSE=True,
     )

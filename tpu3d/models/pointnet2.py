@@ -75,7 +75,12 @@ class SharedMLP(nn.Module):
     channels: Sequence[int]
     bn: bool = True
     last_activation: bool = True
-    dtype: Any = None  # Dense compute dtype (bf16 inference); params stay f32
+    dtype: Any = None  # Dense compute dtype (bf16 on TPU); params stay f32
+    # Keep the layer-0 Dense in promoted (f32) compute even when dtype is
+    # bf16: scene-frame SA levels feed raw |xyz| <= 70 m coordinates into
+    # layer 0 and rely on f32 cancellation (W@xyz[idx] - W@c) before any
+    # bf16 rounding — see PointnetSAModuleMSG.canonical.
+    first_f32: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.9,
@@ -90,7 +95,8 @@ class SharedMLP(nn.Module):
         for i, ch in enumerate(self.channels):
             dense = nn.Dense(ch, use_bias=not self.bn,
                              kernel_init=nn.initializers.he_normal(),
-                             dtype=self.dtype,
+                             dtype=(None if (i == 0 and self.first_f32)
+                                    else self.dtype),
                              name=f"dense_{i}")
             x = first_pre(dense) if (i == 0 and first_pre is not None) \
                 else dense(x)
@@ -193,7 +199,14 @@ class PointnetSAModuleMSG(nn.Module):
                     # the plain path (the layer-0 Dense is driven through
                     # SharedMLP's first_pre hook), so this shape-dependent
                     # strategy choice never changes the checkpoint format.
-                    cdt = self.dtype or features.dtype
+                    # scene-frame levels keep the layer-0 Dense (and its
+                    # center correction) in f32 even under bf16-matmul
+                    # training: the cancellation W@xyz[idx] − W@c must
+                    # happen before bf16 rounding (module docstring). Eval
+                    # keeps the validated BF16_INFERENCE behavior.
+                    first_f32 = train and not self.canonical and self.use_xyz
+                    cdt = (features.dtype if first_f32
+                           else (self.dtype or features.dtype))
                     bf16_ok = (jax.default_backend() == "tpu"
                                and (not train or self.train_bf16))
 
@@ -234,6 +247,7 @@ class PointnetSAModuleMSG(nn.Module):
                         return x
 
                     out = SharedMLP(mlp, bn=self.bn, dtype=self.dtype,
+                                    first_f32=first_f32,
                                     name=f"mlp_{i}")(
                         None, train=train, bn_momentum=bn_momentum,
                         first_pre=pre0)

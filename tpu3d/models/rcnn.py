@@ -9,6 +9,7 @@ being a GroupAll.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config.config import as_attrdict
@@ -31,9 +32,17 @@ class RCNNNet(nn.Module):
         Returns dict(rcnn_cls (M, 1), rcnn_reg (M, C))."""
         full = as_attrdict(self.cfg)
         c = full.RCNN
-        dt = (jnp.bfloat16
-              if (not train and bool(full.get("BF16_INFERENCE", False)))
-              else None)
+        # bf16 Dense compute: inference via cfg.BF16_INFERENCE, training via
+        # cfg.TRAIN.BF16_MATMULS (the RCNN stack is all-canonical — per-ROI
+        # coordinates are a few metres — so every layer is bf16-safe)
+        dt = None
+        if not train and bool(full.get("BF16_INFERENCE", False)):
+            dt = jnp.bfloat16
+        elif (train and jax.default_backend() == "tpu"
+              and bool(full.TRAIN.get("BF16_MATMULS", True))):
+            dt = jnp.bfloat16
+        # heads stay f32 in training (see rpn.py head_dt rationale)
+        head_dt = dt if not train else None
         if isinstance(pts_input, tuple):
             xyz, rest = pts_input
         else:
@@ -73,7 +82,7 @@ class RCNNNet(nn.Module):
         cls_channel = 1 if self.num_classes == 2 else self.num_classes
         rcnn_cls = HeadMLP(hidden=tuple(c.CLS_FC), out_channels=cls_channel,
                            use_bn=c.USE_BN, dp_ratio=c.DP_RATIO,
-                           dtype=dt, name="cls_head")(feat, train=train,
+                           dtype=head_dt, name="cls_head")(feat, train=train,
                                             bn_momentum=bn_momentum)
         n_reg = reg_channels(c.LOC_SCOPE, c.LOC_BIN_SIZE, c.NUM_HEAD_BIN,
                              get_xz_fine=True, get_y_by_bin=c.LOC_Y_BY_BIN,
@@ -81,6 +90,6 @@ class RCNNNet(nn.Module):
                              loc_y_bin_size=c.LOC_Y_BIN_SIZE)
         rcnn_reg = HeadMLP(hidden=tuple(c.REG_FC), out_channels=n_reg,
                            use_bn=c.USE_BN, dp_ratio=c.DP_RATIO,
-                           out_kernel_std=0.001, dtype=dt, name="reg_head")(
+                           out_kernel_std=0.001, dtype=head_dt, name="reg_head")(
                                feat, train=train, bn_momentum=bn_momentum)
         return {"rcnn_cls": rcnn_cls, "rcnn_reg": rcnn_reg}

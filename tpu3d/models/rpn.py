@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,10 +64,21 @@ class RPN(nn.Module):
     def __call__(self, pts_input, train: bool = False, bn_momentum=0.9):
         c = as_attrdict(self.cfg)
         sa = c.RPN.SA_CONFIG
-        # bf16 Dense compute for inference only (MXU 2x; heads/features return
-        # f32 — box decode stays full precision). cfg.BF16_INFERENCE gates it.
-        dt = (jnp.bfloat16
-              if (not train and bool(c.get("BF16_INFERENCE", False))) else None)
+        # bf16 Dense compute (MXU 2x; heads/features return f32 — box decode
+        # stays full precision). Inference: cfg.BF16_INFERENCE. Training:
+        # cfg.TRAIN.BF16_MATMULS (scene-frame layer-0 Denses stay f32 — see
+        # pointnet2.SharedMLP.first_f32).
+        dt = None
+        if not train and bool(c.get("BF16_INFERENCE", False)):
+            dt = jnp.bfloat16
+        elif (train and jax.default_backend() == "tpu"
+              and bool(c.TRAIN.get("BF16_MATMULS", True))):
+            dt = jnp.bfloat16
+        # the cls/reg towers stay f32 during training: bin logits and
+        # residual regressions are where bf16 forward/grad rounding measurably
+        # costs AP (quickstart ablation, docs/TRAIN_PROFILE.md), and the head
+        # matmuls are a small slice of step time
+        head_dt = dt if not train else None
         backbone_cls = Pointnet2MSG
         if train and bool(c.TRAIN.get("REMAT", False)):
             # rematerialized backbone: the backward pass recomputes the SA/FP
@@ -89,14 +101,14 @@ class RPN(nn.Module):
                     if c.RPN.LOSS_CLS == "SigmoidFocalLoss" else 0.0)
         rpn_cls = HeadMLP(hidden=tuple(c.RPN.CLS_FC), out_channels=1,
                           use_bn=c.RPN.USE_BN, dp_ratio=c.RPN.DP_RATIO,
-                          out_bias_init=cls_bias, dtype=dt, name="cls_head")(
+                          out_bias_init=cls_bias, dtype=head_dt, name="cls_head")(
                               backbone_features, train=train,
                               bn_momentum=bn_momentum)
         n_reg = reg_channels(c.RPN.LOC_SCOPE, c.RPN.LOC_BIN_SIZE,
                              c.RPN.NUM_HEAD_BIN, c.RPN.LOC_XZ_FINE)
         rpn_reg = HeadMLP(hidden=tuple(c.RPN.REG_FC), out_channels=n_reg,
                           use_bn=c.RPN.USE_BN, dp_ratio=c.RPN.DP_RATIO,
-                          out_kernel_std=0.001, dtype=dt, name="reg_head")(
+                          out_kernel_std=0.001, dtype=head_dt, name="reg_head")(
                               backbone_features, train=train,
                               bn_momentum=bn_momentum)
         return {

@@ -198,16 +198,94 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     Measured on v5e (B=8): one-hot wins up to N=1024 sources (0.71 -> 0.53 ms
     at the (256, 1024, 512) level; 1.20 -> 0.84 ms at (1024, 4096, 256)) and
     loses at N=4096 where the one-hot traffic overtakes the gather, hence the
-    N <= 1024 dispatch bound.
+    N <= 1024 dispatch bound. Above it the forward stays a gather but carries
+    a custom VJP whose feature gradient is a chunked one-hot MXU matmul —
+    XLA's native take_along_axis VJP is a serialized scatter-add that costs
+    13.3 ms/step at the FP_0 training shape (docs/TRAIN_PROFILE.md); the
+    matmul transpose is ~3 ms of MXU time, mirroring the CUDA grad kernel's
+    atomic-add design being replaced wholesale (interpolate_gpu.cu:120-160).
     """
     B, M, _ = idx.shape
     N, C = features.shape[1], features.shape[-1]
-    if jax.default_backend() == "tpu" and N <= 1024 and C >= 16:
-        return _three_interpolate_onehot(features, idx, weight)
+    if jax.default_backend() == "tpu" and C >= 16:
+        if N <= 1024:
+            return _three_interpolate_onehot(features, idx, weight)
+        return _three_interpolate_gather_mxu_vjp(features, idx, weight)
     gathered = jnp.take_along_axis(
         features, idx.reshape(B, M * 3)[..., None], axis=1
     ).reshape(B, M, 3, -1)
     return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+# one-hot chunk budget for the custom-VJP feature gradient (tests shrink it
+# to exercise the scan-accumulate path at small shapes)
+_ONEHOT_CHUNK_BYTES = 32 * 1024 * 1024
+
+
+def _ti_gather_fwd_impl(features, idx, weight):
+    B, M, _ = idx.shape
+    gathered = jnp.take_along_axis(
+        features, idx.reshape(B, M * 3)[..., None], axis=1
+    ).reshape(B, M, 3, -1)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+@jax.custom_vjp
+def _three_interpolate_gather_mxu_vjp(features, idx, weight):
+    return _ti_gather_fwd_impl(features, idx, weight)
+
+
+def _ti_gather_vjp_fwd(features, idx, weight):
+    return _ti_gather_fwd_impl(features, idx, weight), (features, idx, weight)
+
+
+def _ti_gather_vjp_bwd(res, g):
+    features, idx, weight = res
+    B, M, _ = idx.shape
+    N, C = features.shape[1], features.shape[-1]
+    # grad wrt weight: regather the picked rows (row-latency gather, ~same
+    # cost as the forward) and dot against the cotangent — cheaper than
+    # saving the (B, M, 3, C) product as a residual (805 MB at FP_0 shape)
+    gathered = jnp.take_along_axis(
+        features, idx.reshape(B, M * 3)[..., None], axis=1
+    ).reshape(B, M, 3, C)
+    gw = jnp.einsum("bmjc,bmc->bmj", gathered.astype(jnp.float32),
+                    g.astype(jnp.float32))
+    # grad wrt features: transpose of the interpolation operator applied to g
+    # — a (N, M)·(M, C) sparse matmul with 3 nnz per column, run as chunked
+    # weighted-one-hot bf16 matmuls on the MXU with an f32 accumulator
+    # (replaces XLA's serialized scatter-add VJP)
+    chunk = max(1, min(M, _ONEHOT_CHUNK_BYTES // max(B * N * 2, 1)))
+    while M % chunk != 0:
+        chunk -= 1
+    gb = g.astype(jnp.bfloat16)
+    if chunk == M:
+        rows = jnp.sum(
+            jax.nn.one_hot(idx, N, dtype=jnp.bfloat16)
+            * weight[..., None].astype(jnp.bfloat16), axis=2)
+        gf = jnp.einsum("bmn,bmc->bnc", rows, gb,
+                        preferred_element_type=jnp.float32)
+    else:
+        n_chunks = M // chunk
+        parts_i = idx.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+        parts_w = weight.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+        parts_g = gb.reshape(B, n_chunks, chunk, C).transpose(1, 0, 2, 3)
+
+        def body(acc, args):
+            ic, wc, gc = args
+            rows = jnp.sum(
+                jax.nn.one_hot(ic, N, dtype=jnp.bfloat16)
+                * wc[..., None].astype(jnp.bfloat16), axis=2)
+            return acc + jnp.einsum("bmn,bmc->bnc", rows, gc,
+                                    preferred_element_type=jnp.float32), None
+
+        gf, _ = jax.lax.scan(body, jnp.zeros((B, N, C), jnp.float32),
+                             (parts_i, parts_w, parts_g))
+    return gf.astype(features.dtype), None, gw.astype(weight.dtype)
+
+
+_three_interpolate_gather_mxu_vjp.defvjp(_ti_gather_vjp_fwd,
+                                         _ti_gather_vjp_bwd)
 
 
 def _three_interpolate_onehot(features: jnp.ndarray, idx: jnp.ndarray,
