@@ -225,8 +225,12 @@ def _ball_query_one(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
     and downstream max-pooling is order-invariant), so nearest-k is a drop-in —
     and statistically nicer — neighbor rule.
 
-    method "first": exact CUDA-parity first-k-in-index-order via top_k over
-    index keys (the numpy oracle's semantics; used by parity tests).
+    method "first": exact CUDA-parity first-k-in-index-order (the numpy
+    oracle's semantics). Computed as ONE single-operand unstable sort of s32
+    index keys (in-radius -> own index, else sentinel n) — no distance/iota
+    co-sort, so roughly half the sort traffic of the approx_min_k pair sort
+    (the key array IS the payload). The ascending prefix of the sorted keys
+    is exactly the first-k in-radius indices.
 
     Both pad short rows with the first slot's hit and return all-zeros when
     nothing is in radius (CUDA parity).
@@ -248,8 +252,8 @@ def _ball_query_one(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
             keys = jnp.concatenate(
                 [keys, jnp.full((keys.shape[0], nsample - n), n, jnp.int32)],
                 axis=1)
-        neg_keys, _ = jax.lax.top_k(-keys, nsample)  # ascending keys
-        idx = -neg_keys
+        keys = jax.lax.sort(keys, dimension=1, is_stable=False)
+        idx = jax.lax.slice_in_dim(keys, 0, nsample, axis=1)
         hit = idx < n
     # pad with the first hit; all-miss rows become 0 (CUDA parity)
     first = jnp.where(hit[:, 0:1], idx[:, 0:1], 0)
@@ -272,6 +276,14 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
             and not os.environ.get("TPU3D_DISABLE_PALLAS")):
         d2, idx = _nearest_k_pallas(centers, pts, nsample)
         return ball_query_from_nearest(d2, idx, radius, nsample, N)
+    if method == "nearest" and jax.default_backend() == "tpu":
+        # small-shape TPU path: which k in-radius points a ball query returns
+        # is arbitrary (downstream max-pool is order-invariant), so take the
+        # exact CUDA-parity first-k — its single-key s32 sort is ~2x cheaper
+        # than approx_min_k's (d2, iota) pair sort at the RCNN SA shapes
+        # ((800, 128, 512): 5.0 ms sort + 1.9 ms layout copies in the eval
+        # trace; see docs/ROUND3_NOTES.md)
+        method = "first"
 
     def per_batch(c, p):
         if query_chunk is None or query_chunk >= M:
