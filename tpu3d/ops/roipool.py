@@ -11,17 +11,14 @@ point-in-rotated-box test replaces the kernel's `check_pt_in_box3d`, and the
 wraparound fill is an index-mod, so there is no sequential loop at all — better
 than the CUDA original, which serializes the first-k scan per box.
 
-On TPU at eval shapes (n >= 4096) the first-k selection uses approx_min_k,
-which may occasionally swap one interior point for another via a lane
-collision — counts and the empty flag stay exact, but the pooled *set* is not
-bit-identical to the CUDA first-k-in-index-order choice (which is itself
-arbitrary). Set TPU3D_EXACT_ROIPOOL=1 to force the exact top_k path when
-bit-level parity matters (see docs/PARITY.md).
+On TPU the first-k selection is one single-operand unstable s32 sort of index
+keys — exact CUDA first-k-in-index-order parity at every shape (the earlier
+approx_min_k variant and its TPU3D_EXACT_ROIPOOL escape hatch are gone: the
+single-key sort is both exact and faster than the approx lowering was).
 """
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -44,19 +41,15 @@ def _pool_one(pts: jnp.ndarray, feats: jnp.ndarray, boxes: jnp.ndarray,
         keys = jnp.concatenate(
             [keys, jnp.full((keys.shape[0], num_sampled - n), n, jnp.int32)],
             axis=1)
-    if (jax.default_backend() == "tpu" and n >= 4096
-            and not os.environ.get("TPU3D_EXACT_ROIPOOL")):
-        # approx_min_k (PartialReduce) replaces the full top_k sort — several
-        # times faster at the eval shape (100 ROIs x 16384 pts x k=512).
-        # Which interior points fill the 512 slots is arbitrary (the CUDA
-        # kernel's first-k-in-memory-order is pure convenience,
-        # roipool3d_kernel.cu:123-162), so an occasional lane-collision miss
-        # only swaps one interior point for another. counts come from the
-        # *selected* keys so the wraparound fill never touches a sentinel;
-        # a box with any interior point always yields its global-min key, so
-        # the empty flag stays exact.
-        sel, _ = jax.lax.approx_min_k(keys.astype(jnp.float32), num_sampled)
-        sel = sel.astype(jnp.int32)  # ascending, sentinels (=n) sort last
+    if jax.default_backend() == "tpu":
+        # ONE single-operand unstable s32 sort: the ascending prefix is
+        # exactly the first num_sampled interior points in index order (keys
+        # are distinct, sentinels sort last) — bit-exact CUDA first-k parity,
+        # AND faster than both top_k (which co-sorts an iota payload) and the
+        # earlier approx_min_k (whose fallback lowering at k=512/n=16384 was
+        # a stable f32 sort: 3.6 ms vs 0.9 for this one at the eval shape).
+        sel = jax.lax.sort(keys, dimension=1, is_stable=False)
+        sel = jax.lax.slice_in_dim(sel, 0, num_sampled, axis=1)
         counts = jnp.sum(sel < n, axis=1)  # (M,)
         slots = jnp.clip(sel, 0, n - 1)
     else:
