@@ -276,13 +276,15 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
             and not os.environ.get("TPU3D_DISABLE_PALLAS")):
         d2, idx = _nearest_k_pallas(centers, pts, nsample)
         return ball_query_from_nearest(d2, idx, radius, nsample, N)
-    if method == "nearest" and jax.default_backend() == "tpu":
+    if (method == "nearest" and jax.default_backend() == "tpu"
+            and not os.environ.get("TPU3D_BALLQ_NEAREST")):
         # small-shape TPU path: which k in-radius points a ball query returns
         # is arbitrary (downstream max-pool is order-invariant), so take the
         # exact CUDA-parity first-k — its single-key s32 sort is ~2x cheaper
         # than approx_min_k's (d2, iota) pair sort at the RCNN SA shapes
         # ((800, 128, 512): 5.0 ms sort + 1.9 ms layout copies in the eval
-        # trace; see docs/ROUND3_NOTES.md)
+        # trace; see docs/ROUND3_NOTES.md). TPU3D_BALLQ_NEAREST=1 keeps the
+        # nearest-k rule (A/B knob for neighbor-rule quality studies).
         method = "first"
 
     def per_batch(c, p):
