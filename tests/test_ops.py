@@ -280,7 +280,7 @@ def test_three_interpolate_onehot_matches_gather(rng):
     assert err.max() < 0.05
     assert (err / (np.abs(exact) + 1.0)).mean() < 0.005
 
-@pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 2 * 96])
+@pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 6 * 96])
 def test_three_interpolate_mxu_vjp_matches_autodiff(rng, chunk_bytes,
                                                     monkeypatch):
     """The custom VJP (chunked one-hot MXU matmul feature grad + regather
@@ -292,7 +292,7 @@ def test_three_interpolate_mxu_vjp_matches_autodiff(rng, chunk_bytes,
 
     if chunk_bytes is not None:
         # shrink the budget so the (M=384)-column grad runs as 4 scan chunks
-        monkeypatch.setattr(interp_mod, "_ONEHOT_CHUNK_BYTES", chunk_bytes)
+        monkeypatch.setattr(interp_mod, "_ONEHOT_SLAB_BYTES", chunk_bytes)
 
     B, N, M, C = 2, 160, 384, 32
     feats = rng.normal(size=(B, N, C)).astype(np.float32)
@@ -572,3 +572,18 @@ def test_fps_with_3nn_fallback_matches(rng):
     np.testing.assert_array_equal(np.asarray(nni), np.asarray(ref_nn))
     np.testing.assert_allclose(np.asarray(d2),
                                np.asarray(dist) ** 2, rtol=1e-5, atol=1e-6)
+
+
+def test_env_flag_falsy_values(monkeypatch):
+    """FLAG=0 / false / off must read as OFF (knobs are A/B switches whose
+    '0' setting has to mean 'default behavior', not 'truthy string')."""
+    from tpu3d.ops.envflags import env_flag
+
+    for v in ("0", "false", "False", "no", "off", ""):
+        monkeypatch.setenv("TPU3D_BALLQ_NEAREST", v)
+        assert not env_flag("TPU3D_BALLQ_NEAREST"), v
+    for v in ("1", "true", "on", "yes"):
+        monkeypatch.setenv("TPU3D_BALLQ_NEAREST", v)
+        assert env_flag("TPU3D_BALLQ_NEAREST"), v
+    monkeypatch.delenv("TPU3D_BALLQ_NEAREST")
+    assert not env_flag("TPU3D_BALLQ_NEAREST")

@@ -11,9 +11,11 @@ pointrcnn/tools/train_rcnn.py:79-90):
   docs/LOADER_SCALING.md), and always safe.
 - "process": a fork-based pool; children inherit the dataset through fork
   (no pickling) and return built samples over pipes. Scales with host
-  cores — required to feed a v5e-8's ~8x eval throughput. Fork the pool
-  BEFORE any TPU/JAX client is initialized in the parent (the CLIs create
-  their loaders first, which satisfies this).
+  cores — required to feed a v5e-8's ~8x eval throughput. The pool forks
+  EAGERLY in __init__ (main thread, loader-construction time) so the fork
+  happens before any TPU/JAX client is initialized in the parent — the
+  CLIs create their loaders before the model — and never from the
+  producer thread.
 """
 
 from __future__ import annotations
@@ -55,9 +57,14 @@ class BatchLoader:
             raise ValueError(f"unknown worker_mode {worker_mode!r}")
         self.epoch = 0
         self._pool = None
+        if worker_mode == "process":
+            # fork NOW, from the caller's (main) thread, before the model /
+            # JAX client exists — forking later from the producer thread
+            # would inherit live runtime threads and locks into children
+            self._process_pool()
 
     def _process_pool(self):
-        """Lazily fork the worker pool (kept across epochs)."""
+        """Fork the worker pool once (kept across epochs)."""
         if self._pool is None:
             global _FORK_DATASET
             _FORK_DATASET = self.dataset
@@ -113,26 +120,26 @@ class BatchLoader:
         sentinel = object()
 
         def produce():
+            tpool = None
             try:
                 if self.worker_mode == "process":
                     pool = self._process_pool()
-                    for idx, valid in self._batches():
-                        samples = pool.map(
-                            _fork_get, [(int(i), self.epoch) for i in idx])
-                        batch = self.dataset.collate_batch(samples)
-                        batch["batch_valid"] = valid
-                        q.put(batch)
+                    map_fn = lambda idx: pool.map(
+                        _fork_get, [(int(i), self.epoch) for i in idx])
                 else:
-                    with ThreadPoolExecutor(self.num_workers) as tpool:
-                        for idx, valid in self._batches():
-                            samples = list(
-                                tpool.map(self.dataset.__getitem__, idx))
-                            batch = self.dataset.collate_batch(samples)
-                            batch["batch_valid"] = valid
-                            q.put(batch)
+                    tpool = ThreadPoolExecutor(self.num_workers)
+                    map_fn = lambda idx: list(
+                        tpool.map(self.dataset.__getitem__, idx))
+                for idx, valid in self._batches():
+                    batch = self.dataset.collate_batch(map_fn(idx))
+                    batch["batch_valid"] = valid
+                    q.put(batch)
                 q.put(sentinel)
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
+            finally:
+                if tpool is not None:
+                    tpool.shutdown(wait=False)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

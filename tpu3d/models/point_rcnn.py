@@ -21,6 +21,7 @@ from .proposal_target import proposal_target_layer
 from .rcnn import RCNNNet
 from .rpn import RPN
 from ..ops.box_geometry import rotate_points_along_y
+from ..ops.envflags import env_flag
 from ..ops.roipool import roipool3d
 
 
@@ -104,7 +105,8 @@ class PointRCNN(nn.Module):
                         [target["sampled_pts"], target["pts_feature"]], axis=2)
                     output.update(target)
                 else:
-                    if jax.default_backend() == "tpu":
+                    if (jax.default_backend() == "tpu"
+                            and not env_flag("TPU3D_F32_EVAL")):
                         # ONE bf16 row gather for the whole pooled block
                         # (~5.5 ms item in the eval trace): features cast to
                         # bf16 (same numerics policy as the SA/FP casts) and

@@ -28,6 +28,7 @@ from ..ops import (
     three_interpolate,
     three_nn,
 )
+from ..ops.envflags import env_flag
 from ..ops.grouping import ball_query_from_nearest, nearest_k
 
 
@@ -207,8 +208,11 @@ class PointnetSAModuleMSG(nn.Module):
                     first_f32 = train and not self.canonical and self.use_xyz
                     cdt = (features.dtype if first_f32
                            else (self.dtype or features.dtype))
+                    # TPU3D_F32_EVAL=1: full-precision TPU eval numerics
+                    # (debug escape hatch for CPU-vs-TPU parity hunts)
                     bf16_ok = (jax.default_backend() == "tpu"
-                               and (not train or self.train_bf16))
+                               and (self.train_bf16 if train
+                                    else not env_flag("TPU3D_F32_EVAL")))
 
                     def pre0(dense0, *, idx=idx, new_xyz=new_xyz, cdt=cdt):
                         if self.use_xyz:
@@ -324,7 +328,8 @@ class PointnetFPModule(nn.Module):
                 dist, idx = three_nn(unknown, known, differentiable=train)
             weight = interpolation_weights(dist)
             if (jax.default_backend() == "tpu"
-                    and (not train or self.train_bf16)
+                    and (self.train_bf16 if train
+                         else not env_flag("TPU3D_F32_EVAL"))
                     and known_feats.dtype == jnp.float32):
                 # bf16 source features halve the interpolation gather's
                 # random-read + write traffic (FP_0 gathers a 400k-row

@@ -18,7 +18,8 @@ fast path).
 
 from __future__ import annotations
 
-import os
+
+from .envflags import env_flag
 from functools import partial
 
 import jax
@@ -166,7 +167,7 @@ def nearest_k(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
     N = pts.shape[1]
     if (jax.default_backend() == "tpu" and M * N >= (1 << 20)
             and N % 128 == 0 and k <= 64
-            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
+            and not env_flag("TPU3D_DISABLE_PALLAS")):
         return _nearest_k_pallas(centers, pts, k, with_coords=with_coords)
 
     # fallback: chunk the query dim so the distance tile stays bounded
@@ -273,11 +274,11 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
     N = pts.shape[1]
     if (method == "nearest" and jax.default_backend() == "tpu"
             and M * N >= (1 << 20) and N % 128 == 0 and nsample <= 64
-            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
+            and not env_flag("TPU3D_DISABLE_PALLAS")):
         d2, idx = _nearest_k_pallas(centers, pts, nsample)
         return ball_query_from_nearest(d2, idx, radius, nsample, N)
     if (method == "nearest" and jax.default_backend() == "tpu"
-            and not os.environ.get("TPU3D_BALLQ_NEAREST")):
+            and not env_flag("TPU3D_BALLQ_NEAREST")):
         # small-shape TPU path: which k in-radius points a ball query returns
         # is arbitrary (downstream max-pool is order-invariant), so take the
         # exact CUDA-parity first-k — its single-key s32 sort is ~2x cheaper

@@ -9,7 +9,8 @@ interpolate_gpu.cu:120-160 is unnecessary).
 
 from __future__ import annotations
 
-import os
+
+from .envflags import env_flag
 from functools import partial
 
 import jax
@@ -38,7 +39,7 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
     B, M, _ = unknown.shape
     N = known.shape[1]
     if (jax.default_backend() == "tpu" and M % 128 == 0 and M >= 128
-            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
+            and not env_flag("TPU3D_DISABLE_PALLAS")):
         d2k, idx = _three_nn_pallas(unknown, known)
         if not differentiable:
             return jnp.sqrt(jnp.maximum(d2k, 0.0)), idx
@@ -219,7 +220,11 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
 
 # one-hot chunk budget for the custom-VJP feature gradient (tests shrink it
 # to exercise the scan-accumulate path at small shapes)
-_ONEHOT_CHUNK_BYTES = 32 * 1024 * 1024
+# budget for the pre-reduction (B, chunk, 3, N) bf16 one-hot slab — the
+# peak transient of the chunked one-hot matmuls (6 bytes per (b, m) column:
+# 3 neighbor rows x bf16). 96 MB keeps FP_0-shape chunks at the profiled
+# sizes (e.g. B16/N4096 -> chunk 256) while bounding the slab honestly.
+_ONEHOT_SLAB_BYTES = 96 * 1024 * 1024
 
 
 def _ti_gather_fwd_impl(features, idx, weight):
@@ -255,7 +260,7 @@ def _ti_gather_vjp_bwd(res, g):
     # — a (N, M)·(M, C) sparse matmul with 3 nnz per column, run as chunked
     # weighted-one-hot bf16 matmuls on the MXU with an f32 accumulator
     # (replaces XLA's serialized scatter-add VJP)
-    chunk = max(1, min(M, _ONEHOT_CHUNK_BYTES // max(B * N * 2, 1)))
+    chunk = max(1, min(M, _ONEHOT_SLAB_BYTES // max(B * N * 6, 1)))
     while M % chunk != 0:
         chunk -= 1
     gb = g.astype(jnp.bfloat16)
@@ -293,8 +298,8 @@ def _three_interpolate_onehot(features: jnp.ndarray, idx: jnp.ndarray,
     B, M, _ = idx.shape
     N, C = features.shape[1], features.shape[-1]
     fb = features.astype(jnp.bfloat16)
-    # ~32MB one-hot chunks (B x chunk x N bf16)
-    chunk = max(1, min(M, (32 * 1024 * 1024) // max(B * N * 2, 1)))
+    # chunk so the (B, chunk, 3, N) bf16 one-hot slab stays under budget
+    chunk = max(1, min(M, _ONEHOT_SLAB_BYTES // max(B * N * 6, 1)))
     while M % chunk != 0:
         chunk -= 1
 

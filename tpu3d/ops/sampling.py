@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from functools import partial
 
+from .envflags import env_flag
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,7 +44,7 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     vmem_ok = B * N * 4 * 6 < 64 * 1024 * 1024
     if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 256
             and npoint >= 1 and vmem_ok
-            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
+            and not env_flag("TPU3D_DISABLE_PALLAS")):
         return _fps_pallas(xyz, npoint)
     return _fps_xla(xyz, npoint)
 
@@ -152,7 +153,7 @@ def furthest_point_sample_with_3nn(xyz: jnp.ndarray, npoint: int):
     vmem_ok = B * N * 4 * 16 < 28 * 1024 * 1024
     if (jax.default_backend() == "tpu" and N % 128 == 0 and N >= 256
             and npoint >= 3 and vmem_ok
-            and not os.environ.get("TPU3D_DISABLE_PALLAS")):
+            and not env_flag("TPU3D_DISABLE_PALLAS")):
         return _fps3nn_pallas(xyz, npoint)
     idx = furthest_point_sample(xyz, npoint)
     from .interpolate import three_nn
