@@ -264,29 +264,35 @@ def _ball_query_one(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
 @partial(jax.jit, static_argnames=("radius", "nsample", "query_chunk", "method"))
 def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
                nsample: int, query_chunk: int | None = None,
-               method: str = "nearest") -> jnp.ndarray:
+               method: str = "auto") -> jnp.ndarray:
     """(B, M, 3) centers × (B, N, 3) pts -> (B, M, nsample) int32 indices.
 
     ``query_chunk`` bounds the (chunk, N) distance tile; M must divide by it.
-    See _ball_query_one for the ``method`` semantics.
+    See _ball_query_one for the ``method`` semantics. ``"auto"`` (the
+    default) picks the fastest in-radius rule for the backend; an explicit
+    ``"nearest"`` / ``"first"`` is always honored (A/B studies depend on it).
     """
     B, M, _ = centers.shape
     N = pts.shape[1]
-    if (method == "nearest" and jax.default_backend() == "tpu"
+    if (method in ("auto", "nearest") and jax.default_backend() == "tpu"
             and M * N >= (1 << 20) and N % 128 == 0 and nsample <= 64
             and not env_flag("TPU3D_DISABLE_PALLAS")):
         d2, idx = _nearest_k_pallas(centers, pts, nsample)
         return ball_query_from_nearest(d2, idx, radius, nsample, N)
-    if (method == "nearest" and jax.default_backend() == "tpu"
-            and not env_flag("TPU3D_BALLQ_NEAREST")):
-        # small-shape TPU path: which k in-radius points a ball query returns
-        # is arbitrary (downstream max-pool is order-invariant), so take the
-        # exact CUDA-parity first-k — its single-key s32 sort is ~2x cheaper
-        # than approx_min_k's (d2, iota) pair sort at the RCNN SA shapes
-        # ((800, 128, 512): 5.0 ms sort + 1.9 ms layout copies in the eval
-        # trace; see docs/ROUND3_NOTES.md). TPU3D_BALLQ_NEAREST=1 keeps the
-        # nearest-k rule (A/B knob for neighbor-rule quality studies).
-        method = "first"
+    if method == "auto":
+        if (jax.default_backend() == "tpu"
+                and not env_flag("TPU3D_BALLQ_NEAREST")):
+            # small-shape TPU path: which k in-radius points a ball query
+            # returns is arbitrary (downstream max-pool is order-invariant),
+            # so take the exact CUDA-parity first-k — its single-key s32
+            # sort is ~2x cheaper than approx_min_k's (d2, iota) pair sort
+            # at the RCNN SA shapes ((800, 128, 512): 5.0 ms sort + 1.9 ms
+            # layout copies in the eval trace; see docs/ROUND3_NOTES.md).
+            # TPU3D_BALLQ_NEAREST=1 makes auto keep the nearest-k rule
+            # (A/B knob for neighbor-rule quality studies).
+            method = "first"
+        else:
+            method = "nearest"
 
     def per_batch(c, p):
         if query_chunk is None or query_chunk >= M:
