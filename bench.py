@@ -59,6 +59,18 @@ def main():
     cfg.TEST.RPN_NMS_THRESH = 0.8
 
     batch = 8
+    # TPU3D_BENCH_CFG=configs/double.yaml re-benches an alternate config
+    # through the same harness (double.yaml: 32768 pts, eval batch 4 — the
+    # reference's batch_inference.py:32-33 halves the batch for `double`)
+    cfg_path = os.environ.get("TPU3D_BENCH_CFG")
+    if cfg_path:
+        from tpu3d.config import cfg_from_file
+
+        cfg_from_file(cfg_path, target=cfg)
+        cfg.RPN.USE_INTENSITY = False
+        if os.path.splitext(os.path.basename(cfg_path))[0] == "double":
+            batch = 4
+    batch = int(os.environ.get("TPU3D_BENCH_BATCH", batch))
     n = cfg.RPN.NUM_POINTS  # 16384
     model = PointRCNN(cfg=cfg, mode="TEST")
     rng = np.random.default_rng(0)
