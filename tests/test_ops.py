@@ -212,6 +212,27 @@ def test_ball_query_matches_numpy(rng):
             assert near[b, m, 0] == m  # the center is its own nearest point
 
 
+def test_ball_query_auto_dispatch(rng):
+    """'auto' (the default) resolves to an explicit rule per backend — on CPU
+    to 'nearest' — and an explicitly named method is always honored (the
+    neighbor-rule A/B studies pass method= and must get what they name)."""
+    pts = rng.normal(scale=2.0, size=(2, 128, 3)).astype(np.float32)
+    centers = pts[:, :32]
+    auto = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(pts),
+                                     1.0, 8, method="auto"))
+    default = np.asarray(ops.ball_query(jnp.asarray(centers),
+                                        jnp.asarray(pts), 1.0, 8))
+    near = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(pts),
+                                     1.0, 8, method="nearest"))
+    first = np.asarray(ops.ball_query(jnp.asarray(centers), jnp.asarray(pts),
+                                      1.0, 8, method="first"))
+    np.testing.assert_array_equal(auto, default)
+    np.testing.assert_array_equal(auto, near)  # CPU auto -> nearest
+    np.testing.assert_array_equal(first, ops.ball_query_numpy(
+        centers, pts, 1.0, 8))
+    assert not np.array_equal(near, first)  # the two rules genuinely differ
+
+
 def test_ball_query_empty_and_pad():
     pts = jnp.asarray(np.array([[[0, 0, 0], [0.1, 0, 0], [5, 5, 5]]], np.float32))
     centers = jnp.asarray(np.array([[[0, 0, 0], [100, 100, 100]]], np.float32))
