@@ -127,12 +127,18 @@ class Calibration:
         return self._project_rect_with_P(pts_rect, self.P3)[:, 0:2]
 
     def rect_to_img(self, pts_rect: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(N,3) rect -> ((N,2) uv, (N,) rect depth). Matches
-        pointrcnn/lib/utils/calibration.py:87-96: depth is z_rect minus the P2[2,3]
-        homogeneous correction."""
-        out = self._project_rect_with_P(pts_rect, self.P)
-        depth = out[:, 2] - self.P.T[3, 2]
-        return out[:, 0:2], depth
+        """(N,3) rect -> ((N,2) uv, (N,) rect depth). Exact parity with
+        pointrcnn/lib/utils/calibration.py:61-71, which (unlike the devkit-style
+        ``project_rect_to_image``) divides uv by the RAW rect z, not the
+        homogeneous coordinate z + P2[2,3] — a ~0.005/z relative uv shift that
+        can flip image-bounds validity at the margin; depth is the homogeneous
+        coordinate minus the P2[2,3] correction (i.e. z_rect again)."""
+        pts = _cart2hom(pts_rect) @ self.P.T
+        z = pts_rect[:, 2:3].copy()
+        z[z == 0] = 1e-9
+        uv = pts[:, 0:2] / z
+        depth = pts[:, 2] - self.P.T[3, 2]
+        return uv, depth
 
     # ---- 2d -> 3d ----
     def project_image_to_rect(self, uv_depth: np.ndarray) -> np.ndarray:
