@@ -106,6 +106,21 @@ def ref_eval(tmp_path_factory):
         eval_old = _load("eval_old", os.path.join(REF_DIR, "eval_old.py"))
         eval2.rotate_iou_gpu_eval = pairwise_riou
         eval_old.rotate_iou_gpu_eval = pairwise_riou
+
+        # eval2's coco path calls np.linspace(start, stop, num) with a float
+        # num (eval2.py get_coco_eval_result), which 2019 numpy accepted and
+        # numpy 2 rejects; shim linspace to cast num to int
+        class _NpShim:
+            def __init__(self, real):
+                self._real = real
+
+            def __getattr__(self, name):
+                return getattr(self._real, name)
+
+            def linspace(self, start, stop, num=50, **kw):
+                return self._real.linspace(start, stop, int(num), **kw)
+
+        eval2.np = _NpShim(np)
         yield _load("ref_evaluate_mod", os.path.join(REF_DIR, "evaluate.py"))
     finally:
         sys.path.remove(REF_DIR)
@@ -298,6 +313,66 @@ def test_evaluate_reverse_align_matches(ref_eval, tree, tmp_path):
     _assert_ap_dicts_match(rd, od)
     _assert_label_dirs_match(ref_run / "reverse_align",
                              our_run / "reverse_align")
+
+
+def test_evaluate_old_metric_matches(ref_eval, tree, tmp_path):
+    from tpu3d.evaluate.evaluate import evaluate as our_evaluate
+
+    gt = str(tree / "kitti_data" / "training" / "label_2")
+    split = str(tree / "kitti_data" / "val.txt")
+    _, rd = ref_eval.evaluate(str(tree / "ref_run_waymo" / "data"),
+                              label_path=gt, label_split_file=split,
+                              metric="old", current_class=0)
+    _, od = our_evaluate(str(tree / "ours_run_waymo" / "data"), label_path=gt,
+                         label_split_file=split, metric="old",
+                         current_class=0)
+    _assert_ap_dicts_match(rd, od)
+
+
+def test_evaluate_coco_matches(ref_eval, tree, tmp_path):
+    """coco=True: the reference's coco path is BROKEN as shipped —
+    do_coco_style_eval calls do_eval without the `dataset` argument
+    (eval2.py:616-618 vs the do_eval signature at :587-592), so min_overlaps
+    lands in `dataset` and the bool compute_aos in `min_overlaps`
+    (`len(bool)` TypeError). Pin that fact, then repair the call with a
+    signature-fixing wrapper and require our (working) coco numbers to match
+    the reference's intended semantics."""
+    import re
+
+    from tpu3d.evaluate.evaluate import evaluate as our_evaluate
+
+    gt = str(tree / "kitti_data" / "training" / "label_2")
+    split = str(tree / "kitti_data" / "val.txt")
+    with pytest.raises(TypeError):
+        ref_eval.evaluate(str(tree / "ref_run_waymo" / "data"), label_path=gt,
+                          label_split_file=split, metric="new",
+                          current_class=0, coco=True)
+    eval2 = sys.modules["eval2"]
+    orig_do_eval = eval2.do_eval
+    eval2.do_eval = (lambda gt_a, dt_a, cls, mo, aos=False:
+                     orig_do_eval(gt_a, dt_a, cls, "kitti", mo, aos))
+    try:
+        ref_out = ref_eval.evaluate(str(tree / "ref_run_waymo" / "data"),
+                                    label_path=gt, label_split_file=split,
+                                    metric="new", current_class=0, coco=True)
+    finally:
+        eval2.do_eval = orig_do_eval
+    our_out, _ = our_evaluate(str(tree / "ours_run_waymo" / "data"),
+                              label_path=gt, label_split_file=split,
+                              metric="new", current_class=0, coco=True)
+    # the reference's coco report prints 3 difficulty columns; ours prints
+    # all 6 new-metric difficulties (a superset) — compare line by line with
+    # the reference's columns as a prefix of ours
+    num = re.compile(r"-?\d+\.\d+")
+    ref_lines = [l for l in str(ref_out).splitlines() if num.search(l)]
+    our_lines = [l for l in str(our_out).splitlines() if num.search(l)]
+    assert len(ref_lines) == len(our_lines) > 0
+    for rl, ol in zip(ref_lines, our_lines):
+        rn = [float(x) for x in num.findall(rl)]
+        on = [float(x) for x in num.findall(ol)]
+        assert len(on) >= len(rn), (rl, ol)
+        np.testing.assert_allclose(on[:len(rn)], rn, rtol=1e-9, atol=1e-6,
+                                   err_msg=rl)
 
 
 def test_evaluate_output_iou_matches(ref_eval, tree, tmp_path):

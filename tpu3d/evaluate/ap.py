@@ -521,7 +521,8 @@ def get_coco_eval_result(gt_annos, dt_annos, current_classes, dataset="kitti",
     min_overlaps = np.zeros([10, *overlap_ranges.shape[1:]])
     for i in range(overlap_ranges.shape[1]):
         for j in range(overlap_ranges.shape[2]):
-            min_overlaps[:, i, j] = np.linspace(*overlap_ranges[:, i, j])
+            start, stop, num = overlap_ranges[:, i, j]
+            min_overlaps[:, i, j] = np.linspace(start, stop, int(num))
     mAPbbox, mAPbev, mAP3d, mAPaos = do_eval(
         gt_annos, dt_annos, current_classes, dataset, min_overlaps, metric_mode,
         compute_aos)
