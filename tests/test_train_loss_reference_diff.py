@@ -1,0 +1,234 @@
+"""Differential test vs the REFERENCE's own joint-loss assembly.
+
+Executes lib/net/train_functions.py's model_joint_fn_decorator() from source
+with CPU torch (easydict stubbed so lib/config.py supplies the reference's
+real cfg tree; Tensor.cuda shimmed) and a stub model that returns fixed
+synthetic RPN+RCNN outputs, then compares the total loss and every tb_dict
+scalar against our model_loss/get_rpn_loss/get_rcnn_loss on the same arrays.
+Covers all three RPN cls-loss variants (SigmoidFocalLoss / DiceLoss /
+BinaryCrossEntropy), both RCNN cls-loss variants, SIZE_RES_ON_ROI on/off and
+the zero-foreground branches. Reference: train_functions.py:9-220.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from tpu3d.config import fresh_cfg
+from tpu3d.models.bbox_codec import reg_channels
+from tpu3d.models.train_functions import model_loss
+
+REF_PRCNN = "/root/reference/pointrcnn"
+
+
+class _EasyDict(dict):
+    def __init__(self, d=None, **kwargs):
+        super().__init__()
+        for k, v in {**(d or {}), **kwargs}.items():
+            setattr(self, k, v)
+
+    def __setattr__(self, name, value):
+        if isinstance(value, dict) and not isinstance(value, _EasyDict):
+            value = _EasyDict(value)
+        self[name] = value
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name)
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    """(train_functions module, reference cfg, loss_utils module)."""
+    if not os.path.isdir(REF_PRCNN):
+        pytest.skip("reference repo not available")
+    easydict_stub = types.ModuleType("easydict")
+    easydict_stub.EasyDict = _EasyDict
+    saved = sys.modules.get("easydict")
+    sys.modules["easydict"] = easydict_stub
+    sys.path.insert(0, REF_PRCNN)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    had_cft = hasattr(torch.cuda, "FloatTensor")
+    orig_cft = getattr(torch.cuda, "FloatTensor", None)
+    torch.cuda.FloatTensor = lambda *shape: torch.zeros(*shape)
+    try:
+        import lib.utils.loss_utils as ref_lu
+        from lib.config import cfg as ref_cfg
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_train_functions",
+            os.path.join(REF_PRCNN, "lib", "net", "train_functions.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod, ref_cfg, ref_lu
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        if had_cft:
+            torch.cuda.FloatTensor = orig_cft
+        else:
+            del torch.cuda.FloatTensor
+        sys.path.remove(REF_PRCNN)
+        if saved is None:
+            sys.modules.pop("easydict", None)
+        else:
+            sys.modules["easydict"] = saved
+
+
+def _stub_model(ref_lu, ret_dict, rpn_cfg, rcnn_cfg):
+    """Duck-typed model: returns fixed outputs, carries the loss functors the
+    reference closures fetch from model.rpn / model.rcnn_net."""
+    model = types.SimpleNamespace()
+    model.rpn = types.SimpleNamespace(
+        rpn_cls_loss_func=(
+            ref_lu.DiceLoss(ignore_target=-1)
+            if rpn_cfg.LOSS_CLS == "DiceLoss"
+            else ref_lu.SigmoidFocalClassificationLoss(
+                gamma=rpn_cfg.FOCAL_GAMMA, alpha=rpn_cfg.FOCAL_ALPHA[0])))
+    model.rcnn_net = types.SimpleNamespace(
+        cls_loss_func=ref_lu.SigmoidFocalClassificationLoss(
+            gamma=rcnn_cfg.FOCAL_GAMMA, alpha=rcnn_cfg.FOCAL_ALPHA[0]))
+    return model
+
+
+def _synthetic(rng, cfg, B=2, N=128, M=12, fg_frac=0.4, rcnn_bce=False):
+    n_rpn = reg_channels(cfg.RPN.LOC_SCOPE, cfg.RPN.LOC_BIN_SIZE,
+                         cfg.RPN.NUM_HEAD_BIN, get_xz_fine=cfg.RPN.LOC_XZ_FINE,
+                         get_y_by_bin=False)
+    n_rcnn = reg_channels(cfg.RCNN.LOC_SCOPE, cfg.RCNN.LOC_BIN_SIZE,
+                          cfg.RCNN.NUM_HEAD_BIN, get_xz_fine=True,
+                          get_y_by_bin=cfg.RCNN.LOC_Y_BY_BIN,
+                          loc_y_scope=cfg.RCNN.LOC_Y_SCOPE,
+                          loc_y_bin_size=cfg.RCNN.LOC_Y_BIN_SIZE)
+    mean_size = np.asarray(cfg.CLS_MEAN_SIZE[0], np.float32)
+
+    rpn_cls_label = rng.choice([-1, 0, 1], size=(B, N),
+                               p=[0.1, 1 - 0.1 - fg_frac, fg_frac])
+    rpn_reg_label = np.zeros((B, N, 7), np.float32)
+    rpn_reg_label[..., 0:3] = rng.uniform(-2.5, 2.5, (B, N, 3))
+    rpn_reg_label[..., 3:6] = mean_size * rng.uniform(0.85, 1.2, (B, N, 3))
+    rpn_reg_label[..., 6] = rng.uniform(-2 * np.pi, 2 * np.pi, (B, N))
+
+    # modern torch's F.binary_cross_entropy validates target in [0, 1], so
+    # the reference's RCNN BCE path (which feeds raw labels and masks the -1
+    # rows afterwards, train_functions.py:173-177) can only execute without
+    # ignore rows; their contribution is 0 on both sides either way
+    lo = 0.0 if rcnn_bce else 0.15
+    cls_label = rng.choice([-1, 0, 1], size=M,
+                           p=[lo, 1 - lo - fg_frac, fg_frac])
+    reg_valid_mask = (cls_label > 0).astype(np.float32) * (
+        rng.uniform(size=M) < 0.9)
+    roi = np.zeros((M, 7), np.float32)
+    roi[:, 0:3] = rng.uniform(-20, 20, (M, 3))
+    roi[:, 3:6] = mean_size * rng.uniform(0.8, 1.3, (M, 3))
+    roi[:, 6] = rng.uniform(-np.pi, np.pi, M)
+    gt_ct = np.zeros((M, 7), np.float32)
+    gt_ct[:, 0:3] = rng.uniform(-1.2, 1.2, (M, 3))
+    gt_ct[:, 1] *= 0.3
+    gt_ct[:, 3:6] = mean_size * rng.uniform(0.85, 1.2, (M, 3))
+    gt_ct[:, 6] = rng.uniform(-np.pi / 3, np.pi / 3, M)
+
+    data = {
+        "pts_rect": rng.normal(size=(B, N, 3)).astype(np.float32),
+        "pts_features": rng.normal(size=(B, N, 1)).astype(np.float32),
+        "pts_input": rng.normal(size=(B, N, 3)).astype(np.float32),
+        "gt_boxes3d": np.zeros((B, 1, 7), np.float32),
+        "rpn_cls_label": rpn_cls_label.astype(np.float32),
+        "rpn_reg_label": rpn_reg_label,
+    }
+    ret = {
+        "rpn_cls": rng.normal(size=(B, N, 1)).astype(np.float32),
+        "rpn_reg": rng.normal(scale=0.6, size=(B, N, n_rpn)).astype(
+            np.float32),
+        "rcnn_cls": rng.normal(size=(M, 1)).astype(np.float32),
+        "rcnn_reg": rng.normal(scale=0.6, size=(M, n_rcnn)).astype(
+            np.float32),
+        "cls_label": cls_label.astype(np.float32),
+        "reg_valid_mask": reg_valid_mask,
+        "roi_boxes3d": roi,
+        "gt_of_rois": gt_ct,
+        "pts_input": rng.normal(size=(M, 64, 5)).astype(np.float32),
+    }
+    return data, ret
+
+
+@pytest.mark.parametrize("rpn_loss_cls", ["SigmoidFocalLoss", "DiceLoss",
+                                          "BinaryCrossEntropy"])
+@pytest.mark.parametrize("rcnn_loss_cls,size_res_on_roi",
+                         [("SigmoidFocalLoss", False),
+                          ("SigmoidFocalLoss", True),
+                          ("BinaryCrossEntropy", False)])
+@pytest.mark.parametrize("fg_frac", [0.4, 0.0])
+def test_joint_loss_matches_reference(ref_env, rpn_loss_cls, rcnn_loss_cls,
+                                      size_res_on_roi, fg_frac):
+    ref_mod, ref_cfg, ref_lu = ref_env
+    rng = np.random.default_rng(
+        hash((rpn_loss_cls, rcnn_loss_cls, size_res_on_roi, fg_frac))
+        % (1 << 31))
+    ref_cfg.RPN.ENABLED = True
+    ref_cfg.RPN.FIXED = False
+    ref_cfg.RCNN.ENABLED = True
+    ref_cfg.RPN.LOSS_CLS = rpn_loss_cls
+    ref_cfg.RCNN.LOSS_CLS = rcnn_loss_cls
+    ref_cfg.RCNN.SIZE_RES_ON_ROI = size_res_on_roi
+
+    our_cfg = fresh_cfg()
+    our_cfg.RPN.ENABLED = True
+    our_cfg.RPN.FIXED = False
+    our_cfg.RCNN.ENABLED = True
+    our_cfg.RPN.LOSS_CLS = rpn_loss_cls
+    our_cfg.RCNN.LOSS_CLS = rcnn_loss_cls
+    our_cfg.RCNN.SIZE_RES_ON_ROI = size_res_on_roi
+    our_cfg.RPN.LOC_XZ_FINE = bool(ref_cfg.RPN.LOC_XZ_FINE)
+
+    data, ret = _synthetic(rng, ref_cfg, fg_frac=fg_frac,
+                           rcnn_bce=(rcnn_loss_cls == 'BinaryCrossEntropy'))
+    torch_ret = {k: torch.from_numpy(np.asarray(v)) for k, v in ret.items()}
+    model = _stub_model(ref_lu, torch_ret, ref_cfg.RPN, ref_cfg.RCNN)
+    model_fn = ref_mod.model_joint_fn_decorator()
+    ref_out = model_fn(lambda_model(model, torch_ret), data)
+
+    jnp_ret = {k: jnp.asarray(v) for k, v in ret.items()}
+    jnp_data = {k: jnp.asarray(v) for k, v in data.items()
+                if k.startswith("rpn_")}
+    got_loss, got_tb = model_loss(our_cfg, jnp_ret, jnp_data)
+
+    np.testing.assert_allclose(float(got_loss), float(ref_out.loss),
+                               rtol=2e-5, atol=1e-6)
+    # reference quirk (train_functions.py:152-154): get_rcnn_loss's focal
+    # branch OVERWRITES tb_dict['rpn_loss_cls_pos'/'rpn_loss_cls_neg'] with
+    # the RCNN values; we keep the RPN values under the rpn keys, so those
+    # two keys are not comparable when the RCNN cls loss is focal
+    skip = ({"rpn_loss_cls_pos", "rpn_loss_cls_neg"}
+            if rcnn_loss_cls == "SigmoidFocalLoss" else set())
+    for k, v in ref_out.tb_dict.items():
+        if k in got_tb and k not in skip:
+            np.testing.assert_allclose(float(got_tb[k]), float(v), rtol=2e-5,
+                                       atol=1e-6, err_msg=k)
+    # the headline components must all have been compared
+    for k in ("rpn_loss_cls", "rpn_loss_reg", "rcnn_loss_cls",
+              "rcnn_loss_reg", "rcnn_reg_fg"):
+        assert k in ref_out.tb_dict and k in got_tb, k
+
+
+def lambda_model(model, torch_ret):
+    """Attach __call__ returning the fixed ret_dict to the stub namespace."""
+    class _M:
+        rpn = model.rpn
+        rcnn_net = model.rcnn_net
+
+        def __call__(self, input_data):
+            return torch_ret
+
+    return _M()
