@@ -31,7 +31,12 @@ from tpu3d.kitti.object3d import read_label
 
 
 class NS(types.SimpleNamespace):
-    pass
+    def get_lock(self):
+        """mp.Value protocol (the converters take counter increments under
+        the Value's lock); a null context suffices in-process."""
+        import contextlib
+
+        return contextlib.nullcontext()
 
 
 # ============================================================ waymo fixtures

@@ -138,13 +138,19 @@ def read_file(tfrecord_path, paths, start_idx, signal, done, target):
     tf, open_dataset, frame_utils = _require_waymo()
     dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
     try:
-        signal.value = sum(1 for _ in dataset)
+        count = sum(1 for _ in dataset)
     except Exception:
         signal.value = 0
         with open("/tmp/waymo_missing.txt", "a") as f:
             f.write(f"{tfrecord_path}\n")
         return
-    target.value += signal.value
+    # update the shared total BEFORE releasing the parent via `signal` (the
+    # reference does it after, so a sibling launched meanwhile races the
+    # unlocked +=, waymo2kitti.py:230-237) and take the Value's lock — the
+    # += itself is not atomic
+    with target.get_lock():
+        target.value += count
+    signal.value = count
 
     idx = start_idx
     for data in dataset:
@@ -189,7 +195,8 @@ def read_file(tfrecord_path, paths, start_idx, signal, done, target):
         objs = paintover_occlusion([o for o in objs if o is not None],
                                    front.height, front.width)
         save_label_file(objs, os.path.join(paths["label"], f"{name}.txt"))
-        done.value += 1
+        with done.get_lock():  # cross-process progress counter
+            done.value += 1
 
 
 def waymo_to_kitti(waymo_path: str, kitti_path: str, seed: int = 19260817):
