@@ -42,15 +42,11 @@ def ref_ku(request):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     # CPU shim for the torch.cuda.FloatTensor zeros/ones factories
-    had = hasattr(torch.cuda, "FloatTensor")
-    orig = getattr(torch.cuda, "FloatTensor", None)
-    torch.cuda.FloatTensor = lambda *shape: torch.zeros(*shape)
-    def _restore():
-        if had:
-            torch.cuda.FloatTensor = orig
-        else:
-            del torch.cuda.FloatTensor
-    request.addfinalizer(_restore)
+    from _ref_shims import torch_cpu_shims
+
+    shim = torch_cpu_shims(torch, cuda_method=False, float_tensor=True)
+    shim.__enter__()
+    request.addfinalizer(lambda: shim.__exit__(None, None, None))
     return mod
 
 

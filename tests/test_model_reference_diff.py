@@ -25,6 +25,8 @@ import sys
 import numpy as np
 import pytest
 
+from _ref_shims import stable_seed
+
 jax = pytest.importorskip("jax")
 torch = pytest.importorskip("torch")
 
@@ -64,15 +66,11 @@ def refs(request):
     lu = _load_ref("ref_loss_utils", os.path.join(REF_UTILS, "loss_utils.py"))
     # the reference builds its bin one-hots with torch.cuda.FloatTensor
     # (loss_utils.py:140-143,163-164,216); a CPU factory is semantics-neutral
-    had = hasattr(torch.cuda, "FloatTensor")
-    orig = getattr(torch.cuda, "FloatTensor", None)
-    torch.cuda.FloatTensor = lambda *shape: torch.zeros(*shape)
-    def _restore():
-        if had:
-            torch.cuda.FloatTensor = orig
-        else:
-            del torch.cuda.FloatTensor
-    request.addfinalizer(_restore)
+    from _ref_shims import torch_cpu_shims
+
+    shim = torch_cpu_shims(torch, cuda_method=False, float_tensor=True)
+    shim.__enter__()
+    request.addfinalizer(lambda: shim.__exit__(None, None, None))
     return bt, lu
 
 
@@ -102,8 +100,8 @@ def _rand_codec_inputs(rng, n, combo, roi_cols):
 def test_decode_bbox_target_matches_reference(refs, get_xz_fine, get_y_by_bin,
                                               get_ry_fine, roi_cols):
     bt, _ = refs
-    rng = np.random.default_rng(hash((get_xz_fine, get_y_by_bin, get_ry_fine,
-                                      roi_cols)) % (1 << 31))
+    rng = np.random.default_rng(stable_seed(get_xz_fine, get_y_by_bin,
+                                            get_ry_fine, roi_cols))
     pred, roi = _rand_codec_inputs(
         rng, 64, (get_xz_fine, get_y_by_bin, get_ry_fine), roi_cols)
     kw = dict(loc_scope=CODEC_KW["loc_scope"],
@@ -129,7 +127,7 @@ def test_get_reg_loss_matches_reference(refs, get_xz_fine, get_y_by_bin,
                                         get_ry_fine):
     _, lu = refs
     rng = np.random.default_rng(
-        hash(("loss", get_xz_fine, get_y_by_bin, get_ry_fine)) % (1 << 31))
+        stable_seed("loss", get_xz_fine, get_y_by_bin, get_ry_fine))
     n = 48
     n_ch = bbox_codec.reg_channels(
         CODEC_KW["loc_scope"], CODEC_KW["loc_bin_size"],

@@ -12,6 +12,7 @@ fixed-shape vmapped `proposal_layer` must reproduce the packed
 Reference: proposal_layer.py:15-135.
 """
 
+import contextlib
 import importlib.util
 import os
 import sys
@@ -19,6 +20,9 @@ import types
 
 import numpy as np
 import pytest
+
+from _ref_shims import (EasyDictStub, easydict_module, modules_swapped,
+                        stable_seed, torch_cpu_shims)
 
 jax = pytest.importorskip("jax")
 torch = pytest.importorskip("torch")
@@ -31,29 +35,6 @@ from tpu3d.models.proposal import proposal_layer as our_proposal_layer
 from tpu3d.ops.nms import nms_numpy
 
 REF_PRCNN = "/root/reference/pointrcnn"
-
-
-class _EasyDict(dict):
-    """Minimal easydict stand-in: attribute <-> key access, recursive."""
-
-    def __init__(self, d=None, **kwargs):
-        super().__init__()
-        for k, v in {**(d or {}), **kwargs}.items():
-            setattr(self, k, v)
-
-    def __setattr__(self, name, value):
-        if isinstance(value, dict) and not isinstance(value, _EasyDict):
-            value = _EasyDict(value)
-        if isinstance(value, (list, tuple)):
-            value = type(value)(
-                _EasyDict(x) if isinstance(x, dict) else x for x in value)
-        self[name] = value
-
-    def __getattr__(self, name):
-        try:
-            return self[name]
-        except KeyError:
-            raise AttributeError(name)
 
 
 def _corner_nms_stub(rotated):
@@ -78,19 +59,13 @@ def ref_env():
     """(proposal_layer module, reference cfg) with CPU shims."""
     if not os.path.isdir(REF_PRCNN):
         pytest.skip("reference repo not available")
-    easydict_stub = types.ModuleType("easydict")
-    easydict_stub.EasyDict = _EasyDict
-    iou3d_cuda_stub = types.ModuleType("iou3d_cuda")
-    names = ("easydict", "iou3d_cuda")
-    saved = {k: sys.modules.get(k) for k in names}
-    sys.modules["easydict"] = easydict_stub
-    sys.modules["iou3d_cuda"] = iou3d_cuda_stub
-    sys.path.insert(0, REF_PRCNN)
-    orig_cuda = torch.Tensor.cuda
-    orig_get_device = torch.Tensor.get_device
-    torch.Tensor.cuda = lambda self, *a, **kw: self
-    torch.Tensor.get_device = lambda self: "cpu"
-    try:
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(modules_swapped(
+            easydict=easydict_module(),
+            iou3d_cuda=types.ModuleType("iou3d_cuda")))
+        stack.enter_context(torch_cpu_shims(torch, get_device=True))
+        sys.path.insert(0, REF_PRCNN)
+        stack.callback(sys.path.remove, REF_PRCNN)
         import lib.utils.iou3d.iou3d_utils as ref_iou3d
 
         ref_iou3d.nms_gpu = _corner_nms_stub(rotated=True)
@@ -102,15 +77,6 @@ def ref_env():
         spec.loader.exec_module(mod)
         from lib.config import cfg as ref_cfg
         yield mod, ref_cfg
-    finally:
-        torch.Tensor.cuda = orig_cuda
-        torch.Tensor.get_device = orig_get_device
-        sys.path.remove(REF_PRCNN)
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
 
 
 def _inputs(rng, cfg, B, N):
@@ -128,7 +94,7 @@ def _inputs(rng, cfg, B, N):
 @pytest.mark.parametrize("nms_type", ["rotate", "normal"])
 def test_proposal_layer_matches_reference(ref_env, mode, nms_type):
     ref_mod, ref_cfg = ref_env
-    rng = np.random.default_rng(hash((mode, nms_type)) % (1 << 31))
+    rng = np.random.default_rng(stable_seed(mode, nms_type))
     B, N = 2, 256
     # identical small top-k budget on both sides (runtime-bounded)
     ref_cfg.RPN.NMS_TYPE = nms_type

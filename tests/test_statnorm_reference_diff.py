@@ -19,6 +19,8 @@ import types
 import numpy as np
 import pytest
 
+from _ref_shims import modules_swapped
+
 from tpu3d.kitti.calibration import Calibration
 from tpu3d.kitti.object3d import Object3d
 from tpu3d.stat_norm import norm as our_norm
@@ -65,6 +67,12 @@ def env(tmp_path_factory):
     stub.dataset_paths = {"kitti": "/tmp/nonexistent_statnorm_root"}
     stub.dataset_full_name = {"kitti": "KITTI"}
     stub.raw_path_dic = dict(stub.dataset_paths)
+    # save/restore every module this fixture installs or imports (the
+    # reference's top-level `utils` package would otherwise shadow any later
+    # import of that very common name)
+    swap = modules_swapped(config_path=stub, utils=None, **{
+        "utils.object_3d": None, "utils.kitti_util": None})
+    swap.__enter__()
     sys.modules["config_path"] = stub
     sys.path.insert(0, REF_ROOT)  # for `from utils.object_3d import ...`
     mods = {}
@@ -101,6 +109,7 @@ def env(tmp_path_factory):
     calib_path.write_text(CALIB_TEXT)
     yield (mods["norm"], mods["stat"], ref_obj_mod, ref_ku, str(calib_path))
     sys.path.remove(REF_ROOT)
+    swap.__exit__(None, None, None)
 
 
 def _make_scene(our_calib):

@@ -10,6 +10,7 @@ BinaryCrossEntropy), both RCNN cls-loss variants, SIZE_RES_ON_ROI on/off and
 the zero-foreground branches. Reference: train_functions.py:9-220.
 """
 
+import contextlib
 import importlib.util
 import os
 import sys
@@ -17,6 +18,9 @@ import types
 
 import numpy as np
 import pytest
+
+from _ref_shims import (easydict_module, modules_swapped, stable_seed,
+                        torch_cpu_shims)
 
 jax = pytest.importorskip("jax")
 torch = pytest.importorskip("torch")
@@ -30,40 +34,17 @@ from tpu3d.models.train_functions import model_loss
 REF_PRCNN = "/root/reference/pointrcnn"
 
 
-class _EasyDict(dict):
-    def __init__(self, d=None, **kwargs):
-        super().__init__()
-        for k, v in {**(d or {}), **kwargs}.items():
-            setattr(self, k, v)
-
-    def __setattr__(self, name, value):
-        if isinstance(value, dict) and not isinstance(value, _EasyDict):
-            value = _EasyDict(value)
-        self[name] = value
-
-    def __getattr__(self, name):
-        try:
-            return self[name]
-        except KeyError:
-            raise AttributeError(name)
-
-
 @pytest.fixture(scope="module")
 def ref_env():
     """(train_functions module, reference cfg, loss_utils module)."""
     if not os.path.isdir(REF_PRCNN):
         pytest.skip("reference repo not available")
-    easydict_stub = types.ModuleType("easydict")
-    easydict_stub.EasyDict = _EasyDict
-    saved = sys.modules.get("easydict")
-    sys.modules["easydict"] = easydict_stub
-    sys.path.insert(0, REF_PRCNN)
-    orig_cuda = torch.Tensor.cuda
-    torch.Tensor.cuda = lambda self, *a, **kw: self
-    had_cft = hasattr(torch.cuda, "FloatTensor")
-    orig_cft = getattr(torch.cuda, "FloatTensor", None)
-    torch.cuda.FloatTensor = lambda *shape: torch.zeros(*shape)
-    try:
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(modules_swapped(easydict=easydict_module()))
+        stack.enter_context(
+            torch_cpu_shims(torch, float_tensor=True))
+        sys.path.insert(0, REF_PRCNN)
+        stack.callback(sys.path.remove, REF_PRCNN)
         import lib.utils.loss_utils as ref_lu
         from lib.config import cfg as ref_cfg
 
@@ -73,17 +54,6 @@ def ref_env():
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         yield mod, ref_cfg, ref_lu
-    finally:
-        torch.Tensor.cuda = orig_cuda
-        if had_cft:
-            torch.cuda.FloatTensor = orig_cft
-        else:
-            del torch.cuda.FloatTensor
-        sys.path.remove(REF_PRCNN)
-        if saved is None:
-            sys.modules.pop("easydict", None)
-        else:
-            sys.modules["easydict"] = saved
 
 
 def _stub_model(ref_lu, ret_dict, rpn_cfg, rcnn_cfg):
@@ -174,8 +144,7 @@ def test_joint_loss_matches_reference(ref_env, rpn_loss_cls, rcnn_loss_cls,
                                       size_res_on_roi, fg_frac):
     ref_mod, ref_cfg, ref_lu = ref_env
     rng = np.random.default_rng(
-        hash((rpn_loss_cls, rcnn_loss_cls, size_res_on_roi, fg_frac))
-        % (1 << 31))
+        stable_seed(rpn_loss_cls, rcnn_loss_cls, size_res_on_roi, fg_frac))
     ref_cfg.RPN.ENABLED = True
     ref_cfg.RPN.FIXED = False
     ref_cfg.RCNN.ENABLED = True

@@ -262,7 +262,8 @@ def process(index, lst, path, signal, target):
         with open(os.path.join(path["pose"], f"{name}.txt"), "w") as f:
             f.write(" ".join(f"{v:.8f}" for v in
                              np.concatenate([dp["pose"][0], dp["pose"][1]])))
-        signal.value += 1
+        with signal.get_lock():  # shared across workers; += is not atomic
+            signal.value += 1
 
 
 def _load_ply(path):

@@ -136,8 +136,8 @@ def read_file(tfrecord_path, paths, start_idx, signal, done, target):
     """Convert one tfrecord shard (worker process; reference:
     waymo2kitti.py:226-269). Communicates its frame count through ``signal``."""
     tf, open_dataset, frame_utils = _require_waymo()
-    dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
     try:
+        dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
         count = sum(1 for _ in dataset)
     except Exception:
         signal.value = 0
@@ -225,6 +225,12 @@ def waymo_to_kitti(waymo_path: str, kitti_path: str, seed: int = 19260817):
             p.start()
             processes.append(p)
             while signal.value == -1:
+                if not p.is_alive():
+                    # crashed before the handshake (import failure, OOM kill)
+                    # — without this check the parent spins forever
+                    raise RuntimeError(
+                        f"waymo worker for {tfrecord} died before reporting "
+                        f"its frame count (exitcode {p.exitcode})")
                 time.sleep(1)
             start_idx += signal.value
     for p in processes:

@@ -272,6 +272,10 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
     default) picks the fastest in-radius rule for the backend; an explicit
     ``"nearest"`` / ``"first"`` is always honored (A/B studies depend on it).
     """
+    if method not in ("auto", "nearest", "first"):
+        raise ValueError(
+            f"ball_query method must be 'auto', 'nearest' or 'first', got "
+            f"{method!r}")  # an explicitly named rule is always honored
     B, M, _ = centers.shape
     N = pts.shape[1]
     if (method in ("auto", "nearest") and jax.default_backend() == "tpu"
