@@ -14,10 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
         # on a 1-core host the 8 virtual devices run serially; the default
         # 40s CPU-collective rendezvous termination timeout kills full-shape
-        # DP steps (each device takes ~90s to reach the grad all-reduce)
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
-        " --xla_cpu_collective_timeout_seconds=3600"
+        # DP steps (each device takes minutes to reach the grad all-reduce).
+        # The warn_stuck timeout must match terminate: this XLA build ABORTS
+        # the process at warn_stuck, not just warns (observed: full-shape DP
+        # step SIGABRTs at exactly ~600s once per-device time grew past ~85s)
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=7200"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        " --xla_cpu_collective_timeout_seconds=7200"
     ).strip()
 
 import jax

@@ -350,6 +350,47 @@ def test_three_interpolate_mxu_vjp_matches_autodiff(rng, chunk_bytes,
             jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w))))
 
 
+@pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 2 * 96])
+def test_group_points_mxu_vjp_matches_autodiff(rng, chunk_bytes, monkeypatch):
+    """The wide-table grouping gather's custom VJP (chunked one-hot MXU
+    matmul feature grad — the TPU N>2048 training path) must match the plain
+    gather's autodiff within bf16 matmul tolerance, chunked and not, and be
+    bit-identical in the forward."""
+    from tpu3d.ops import grouping as group_mod
+    from tpu3d.ops.grouping import (_gp_gather_impl,
+                                    _group_points_gather_mxu_vjp)
+
+    if chunk_bytes is not None:
+        # shrink the budget so the (M·S=384)-row grad runs as 4 scan chunks
+        monkeypatch.setattr(group_mod, "_ONEHOT_SLAB_BYTES", chunk_bytes)
+
+    B, N, M, S, C = 2, 160, 24, 16, 32
+    feats = rng.normal(size=(B, N, C)).astype(np.float32)
+    idx = rng.integers(0, N, size=(B, M, S)).astype(np.int32)
+    g = rng.normal(size=(B, M, S, C)).astype(np.float32)
+
+    def ref_loss(f):
+        return jnp.sum(_gp_gather_impl(f, jnp.asarray(idx)) * jnp.asarray(g))
+
+    def custom_loss(f):
+        return jnp.sum(_group_points_gather_mxu_vjp(f, jnp.asarray(idx))
+                       * jnp.asarray(g))
+
+    gf_ref = jax.grad(ref_loss)(jnp.asarray(feats))
+    gf = jax.grad(custom_loss)(jnp.asarray(feats))
+    # feature grad rides bf16 one-hot matmuls (f32 accumulate) — bf16
+    # rounding budget on the cotangent values
+    err = np.abs(np.asarray(gf) - np.asarray(gf_ref))
+    assert err.max() < 0.1
+    assert (err / (np.abs(np.asarray(gf_ref)) + 1.0)).mean() < 0.01
+
+    # forward value is the identical gather formulation
+    np.testing.assert_array_equal(
+        np.asarray(_group_points_gather_mxu_vjp(jnp.asarray(feats),
+                                                jnp.asarray(idx))),
+        np.asarray(_gp_gather_impl(jnp.asarray(feats), jnp.asarray(idx))))
+
+
 # ------------------------------------------------------------------- roipool
 
 def test_roipool_matches_numpy(rng):

@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# budget for the (B, chunk, N) bf16 one-hot slab materialized by the
+# gather-backward MXU matmul (mirrors interpolate._ONEHOT_SLAB_BYTES)
+_ONEHOT_SLAB_BYTES = 96 * 1024 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -330,9 +334,76 @@ def group_points(features: jnp.ndarray, idx: jnp.ndarray,
             return _group_points_onehot_exact(features, idx)
         if C >= 16 and (M * S) % 8 == 0:
             return _group_points_onehot(features, idx)
+    if jax.default_backend() == "tpu" and not precise and C >= 16:
+        # wide table (N > 2048): keep the plain gather forward (MXU one-hot
+        # traffic loses above ~2k sources) but swap XLA's serialized
+        # scatter-add VJP for a chunked one-hot MXU matmul — the grouping
+        # transpose is a dense (N, M·S) operator with one nnz per column.
+        # 11 ms/step of scatter at the RPN SA_1 training shapes
+        # (docs/TRAIN_PROFILE.md fusion.47/48). precise callers keep the
+        # exact XLA VJP (their grads feed cancelling subtractions).
+        return _group_points_gather_mxu_vjp(features, idx)
     flat = idx.reshape(B, M * S)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(B, M, S, features.shape[-1])
+
+
+def _gp_gather_impl(features, idx):
+    B, M, S = idx.shape
+    flat = idx.reshape(B, M * S)
+    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(B, M, S, features.shape[-1])
+
+
+@jax.custom_vjp
+def _group_points_gather_mxu_vjp(features, idx):
+    return _gp_gather_impl(features, idx)
+
+
+def _gp_vjp_fwd(features, idx):
+    # features rides the residuals only for its shape/dtype (already live as
+    # an input; the bwd never reads its values, so it costs nothing)
+    return _gp_gather_impl(features, idx), (features, idx)
+
+
+def _gp_vjp_bwd(res, g):
+    """grad_features[b, n, :] = sum over gathered rows k with idx[k]==n of
+    g[b, k, :] — run as chunked one-hot bf16 matmuls with an f32 accumulator
+    on the MXU instead of XLA's serialized scatter-add (the same trade as
+    interpolate's `_ti_gather_vjp_bwd`; bf16 cotangent rounding is the
+    standard TPU training precision and is convergence-validated)."""
+    features, idx = res
+    B, N, C = features.shape
+    fdtype = features.dtype
+    _, M, S = idx.shape
+    total = M * S
+    flat = idx.reshape(B, total)
+    gb = g.reshape(B, total, C).astype(jnp.bfloat16)
+    # (B, chunk, N) bf16 one-hot slab under the shared budget
+    chunk = max(1, min(total, _ONEHOT_SLAB_BYTES // max(B * N * 2, 1)))
+    while total % chunk != 0:
+        chunk -= 1
+    if chunk == total:
+        oh = jax.nn.one_hot(flat, N, dtype=jnp.bfloat16)
+        gf = jnp.einsum("bkn,bkc->bnc", oh, gb,
+                        preferred_element_type=jnp.float32)
+    else:
+        n_chunks = total // chunk
+        parts_i = flat.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+        parts_g = gb.reshape(B, n_chunks, chunk, C).transpose(1, 0, 2, 3)
+
+        def body(acc, args):
+            ic, gc = args
+            oh = jax.nn.one_hot(ic, N, dtype=jnp.bfloat16)
+            return acc + jnp.einsum("bkn,bkc->bnc", oh, gc,
+                                    preferred_element_type=jnp.float32), None
+
+        gf, _ = jax.lax.scan(body, jnp.zeros((B, N, C), jnp.float32),
+                             (parts_i, parts_g))
+    return gf.astype(fdtype), None
+
+
+_group_points_gather_mxu_vjp.defvjp(_gp_vjp_fwd, _gp_vjp_bwd)
 
 
 def _group_points_onehot_exact(features: jnp.ndarray,
