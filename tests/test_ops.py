@@ -301,7 +301,8 @@ def test_three_interpolate_onehot_matches_gather(rng):
     assert err.max() < 0.05
     assert (err / (np.abs(exact) + 1.0)).mean() < 0.005
 
-@pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 6 * 96])
+@pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 6 * 96,
+                                         2 * 160 * 6 * 100])
 def test_three_interpolate_mxu_vjp_matches_autodiff(rng, chunk_bytes,
                                                     monkeypatch):
     """The custom VJP (chunked one-hot MXU matmul feature grad + regather
@@ -312,7 +313,9 @@ def test_three_interpolate_mxu_vjp_matches_autodiff(rng, chunk_bytes,
                                        _ti_gather_fwd_impl)
 
     if chunk_bytes is not None:
-        # shrink the budget so the (M=384)-column grad runs as 4 scan chunks
+        # shrink the budget so the (M=384)-column grad runs as scan chunks;
+        # the chunk=100 case doesn't divide M=384 and exercises the
+        # pad-to-chunk-multiple path (sentinel index N, zero weight/cotangent)
         monkeypatch.setattr(interp_mod, "_ONEHOT_SLAB_BYTES", chunk_bytes)
 
     B, N, M, C = 2, 160, 384, 32
@@ -350,7 +353,8 @@ def test_three_interpolate_mxu_vjp_matches_autodiff(rng, chunk_bytes,
             jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w))))
 
 
-@pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 2 * 96])
+@pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 2 * 96,
+                                         2 * 160 * 2 * 100])
 def test_group_points_mxu_vjp_matches_autodiff(rng, chunk_bytes, monkeypatch):
     """The wide-table grouping gather's custom VJP (chunked one-hot MXU
     matmul feature grad — the TPU N>2048 training path) must match the plain
@@ -361,7 +365,8 @@ def test_group_points_mxu_vjp_matches_autodiff(rng, chunk_bytes, monkeypatch):
                                     _group_points_gather_mxu_vjp)
 
     if chunk_bytes is not None:
-        # shrink the budget so the (M·S=384)-row grad runs as 4 scan chunks
+        # shrink the budget so the (M·S=384)-row grad runs as scan chunks;
+        # chunk=100 doesn't divide 384 and exercises the pad-to-chunk path
         monkeypatch.setattr(group_mod, "_ONEHOT_SLAB_BYTES", chunk_bytes)
 
     B, N, M, S, C = 2, 160, 24, 16, 32

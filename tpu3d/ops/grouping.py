@@ -334,14 +334,17 @@ def group_points(features: jnp.ndarray, idx: jnp.ndarray,
             return _group_points_onehot_exact(features, idx)
         if C >= 16 and (M * S) % 8 == 0:
             return _group_points_onehot(features, idx)
-    if jax.default_backend() == "tpu" and not precise and C >= 16:
+    if (jax.default_backend() == "tpu" and not precise and C >= 16
+            and N > 2048):
         # wide table (N > 2048): keep the plain gather forward (MXU one-hot
         # traffic loses above ~2k sources) but swap XLA's serialized
         # scatter-add VJP for a chunked one-hot MXU matmul — the grouping
         # transpose is a dense (N, M·S) operator with one nnz per column.
         # 11 ms/step of scatter at the RPN SA_1 training shapes
         # (docs/TRAIN_PROFILE.md fusion.47/48). precise callers keep the
-        # exact XLA VJP (their grads feed cancelling subtractions).
+        # exact XLA VJP (their grads feed cancelling subtractions). Small
+        # tables that fell through the block above ((M*S) % 8 != 0) keep the
+        # plain gather with its exact autodiff.
         return _group_points_gather_mxu_vjp(features, idx)
     flat = idx.reshape(B, M * S)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
@@ -371,18 +374,32 @@ def _gp_vjp_bwd(res, g):
     g[b, k, :] — run as chunked one-hot bf16 matmuls with an f32 accumulator
     on the MXU instead of XLA's serialized scatter-add (the same trade as
     interpolate's `_ti_gather_vjp_bwd`; bf16 cotangent rounding is the
-    standard TPU training precision and is convergence-validated)."""
+    standard TPU training precision and is convergence-validated).
+
+    Indices are clipped to [0, N) so the backward matches the forward
+    gather's clamp semantics (take_along_axis clamps out-of-range indices;
+    an unclipped one-hot would silently drop those cotangents). ball_query
+    always produces in-range indices, so the clip is free insurance.
+    """
     features, idx = res
     B, N, C = features.shape
     fdtype = features.dtype
     _, M, S = idx.shape
     total = M * S
-    flat = idx.reshape(B, total)
+    flat = jnp.clip(idx.reshape(B, total), 0, N - 1)
     gb = g.reshape(B, total, C).astype(jnp.bfloat16)
     # (B, chunk, N) bf16 one-hot slab under the shared budget
     chunk = max(1, min(total, _ONEHOT_SLAB_BYTES // max(B * N * 2, 1)))
-    while total % chunk != 0:
-        chunk -= 1
+    if chunk < total and total % chunk != 0:
+        # pad to a chunk multiple instead of shrinking chunk toward 1 (a
+        # near-prime total would otherwise degrade to M*S scan steps):
+        # padded rows carry index N whose one-hot row is all-zero, so they
+        # contribute nothing to the accumulator
+        n_chunks = -(-total // chunk)
+        pad = n_chunks * chunk - total
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=N)
+        gb = jnp.pad(gb, ((0, 0), (0, pad), (0, 0)))
+        total = n_chunks * chunk
     if chunk == total:
         oh = jax.nn.one_hot(flat, N, dtype=jnp.bfloat16)
         gf = jnp.einsum("bkn,bkc->bnc", oh, gb,
@@ -433,10 +450,16 @@ def _group_points_onehot(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray
     flat = idx.reshape(B, M * S)
     fb = features.astype(jnp.bfloat16)
     total = M * S
+    n_rows = total
     # ~32MB one-hot chunks
     chunk = max(1, min(total, (16 * 1024 * 1024) // max(N * 2, 1)))
-    while total % chunk != 0:
-        chunk -= 1
+    if chunk < total and total % chunk != 0:
+        # pad to a chunk multiple (see _gp_vjp_bwd): padded rows gather index
+        # N -> all-zero one-hot -> zero rows, sliced off below
+        n_chunks = -(-total // chunk)
+        flat = jnp.pad(flat, ((0, 0), (0, n_chunks * chunk - total)),
+                       constant_values=N)
+        total = n_chunks * chunk
 
     def do_chunk(ic):
         oh = jax.nn.one_hot(ic, N, dtype=jnp.bfloat16)  # (B, chunk, N)
@@ -449,7 +472,7 @@ def _group_points_onehot(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray
         parts = flat.reshape(B, total // chunk, chunk).transpose(1, 0, 2)
         out = jax.lax.map(do_chunk, parts).transpose(1, 0, 2, 3).reshape(
             B, total, C)
-    return out.reshape(B, M, S, C).astype(features.dtype)
+    return out[:, :n_rows].reshape(B, M, S, C).astype(features.dtype)
 
 
 def ball_query_numpy(centers: np.ndarray, pts: np.ndarray, radius: float,

@@ -261,8 +261,16 @@ def _ti_gather_vjp_bwd(res, g):
     # weighted-one-hot bf16 matmuls on the MXU with an f32 accumulator
     # (replaces XLA's serialized scatter-add VJP)
     chunk = max(1, min(M, _ONEHOT_SLAB_BYTES // max(B * N * 6, 1)))
-    while M % chunk != 0:
-        chunk -= 1
+    if chunk < M and M % chunk != 0:
+        # pad to a chunk multiple instead of shrinking chunk toward 1 (a
+        # near-prime M would degrade to M sequential scan steps): padded rows
+        # carry index N (all-zero one-hot) and zero weight/cotangent
+        n_chunks = -(-M // chunk)
+        pad = n_chunks * chunk - M
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)), constant_values=N)
+        weight = jnp.pad(weight, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        M = n_chunks * chunk
     gb = g.astype(jnp.bfloat16)
     if chunk == M:
         rows = jnp.sum(
@@ -298,10 +306,17 @@ def _three_interpolate_onehot(features: jnp.ndarray, idx: jnp.ndarray,
     B, M, _ = idx.shape
     N, C = features.shape[1], features.shape[-1]
     fb = features.astype(jnp.bfloat16)
+    n_rows = M
     # chunk so the (B, chunk, 3, N) bf16 one-hot slab stays under budget
     chunk = max(1, min(M, _ONEHOT_SLAB_BYTES // max(B * N * 6, 1)))
-    while M % chunk != 0:
-        chunk -= 1
+    if chunk < M and M % chunk != 0:
+        # pad to a chunk multiple (see _ti_gather_vjp_bwd): padded rows
+        # produce zeros and are sliced off below
+        n_chunks = -(-M // chunk)
+        pad = n_chunks * chunk - M
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)), constant_values=N)
+        weight = jnp.pad(weight, ((0, 0), (0, pad), (0, 0)))
+        M = n_chunks * chunk
 
     def do_chunk(args):
         ic, wc = args  # (B, chunk, 3)
@@ -318,7 +333,7 @@ def _three_interpolate_onehot(features: jnp.ndarray, idx: jnp.ndarray,
         parts_w = weight.reshape(B, M // chunk, chunk, 3).transpose(1, 0, 2, 3)
         out = jax.lax.map(do_chunk, (parts_i, parts_w)).transpose(
             1, 0, 2, 3).reshape(B, M, C)
-    return out.astype(features.dtype)
+    return out[:, :n_rows].astype(features.dtype)
 
 
 def interpolation_weights(dist: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
