@@ -7,6 +7,13 @@ TEST proposals 9000->100) on synthetic KITTI-format scenes, and prints ONE JSON
 line. ``vs_baseline`` compares against the reference CUDA PointRCNN's ~10
 scenes/s eval throughput on its contemporary GPU (the BASELINE.md target is
 >10x that on a v5e-8; single-chip numbers here scale ~linearly with DP chips).
+
+The same line also carries the TRAINING step throughput
+(``train_step_ms`` / ``train_scenes_per_sec``: joint RPN+RCNN forward +
+backward + optax update at default.yaml batch 16 on synthetic loader batches
+— the reference loop being replaced is tools/train_utils/train_utils.py:
+128-138), and a ``pointrcnn_train_step_ms`` JSON line is printed to stderr.
+Set TPU3D_BENCH_SKIP_TRAIN=1 to measure eval only.
 """
 
 from __future__ import annotations
@@ -38,6 +45,84 @@ def _enable_compilation_cache():
         pass
 
 
+
+
+def bench_train():
+    """Train-step throughput at the TRAIN_PROFILE protocol: default.yaml,
+    joint RPN+RCNN, batch 16, synthetic loader batches, GT_AUG off,
+    8-step average after warmup. Returns (step_ms, scenes_per_sec)."""
+    import sys
+
+    import jax
+
+    from tpu3d.config import cfg_from_file, fresh_cfg
+    from tpu3d.datasets import (BatchLoader, KittiRCNNDataset,
+                                create_synthetic_kitti)
+    from tpu3d.models import PointRCNN
+    from tpu3d.parallel import create_train_state, make_train_step
+
+    cfg = fresh_cfg()
+    cfg_from_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "configs", "default.yaml"), target=cfg)
+    cfg.RPN.ENABLED = cfg.RCNN.ENABLED = True
+    cfg.RPN.FIXED = False
+    cfg.GT_AUG_ENABLED = False
+    cfg.RPN.USE_INTENSITY = False
+
+    batch_size = int(os.environ.get("TPU3D_BENCH_TRAIN_BATCH", 16))
+    data_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "output", "bench_synth")
+    if not os.path.exists(os.path.join(data_root, "KITTI")):
+        # the train split gets n_frames // 2 scenes; need >= one full batch
+        create_synthetic_kitti(data_root, n_frames=2 * batch_size,
+                               image_files=True)
+    dataset = KittiRCNNDataset(
+        root_dir=data_root, npoints=cfg.RPN.NUM_POINTS, split="train",
+        mode="TRAIN", classes=cfg.CLASSES, cfg=cfg, seed=0)
+    loader = BatchLoader(dataset, batch_size, shuffle=False, num_workers=2,
+                         drop_last=True, seed=0)
+    batch = next(iter(loader))
+    batch = {k: v for k, v in batch.items()
+             if k in ("pts_input", "gt_boxes3d", "rpn_cls_label",
+                      "rpn_reg_label")}
+
+    model = PointRCNN(cfg=cfg, mode="TRAIN")
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        cfg, model,
+        {"pts_input": batch["pts_input"], "gt_boxes3d": batch["gt_boxes3d"]},
+        rng, steps_per_epoch=100, total_epochs=200)
+    train_step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+    step_rng = jax.random.PRNGKey(1)
+
+    batch = jax.device_put(batch)
+    print("train bench: compiling...", file=sys.stderr, flush=True)
+    t_c = time.time()
+    state, metrics = train_step(state, batch, step_rng, 0.9)
+    float(metrics["loss"])
+    print(f"train compile+first-step: {time.time() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
+    for _ in range(2):  # warmup
+        state, metrics = train_step(state, batch, step_rng, 0.9)
+    float(metrics["loss"])
+
+    n_iters = 8
+    t0 = time.time()
+    for _ in range(n_iters):
+        state, metrics = train_step(state, batch, step_rng, 0.9)
+    float(metrics["loss"])  # one sync at the end (steps chain via state)
+    dt = time.time() - t0
+    step_ms = dt / n_iters * 1000.0
+    scenes_per_sec = batch_size * n_iters / dt
+    print(f"train: {step_ms:.1f} ms/step (batch {batch_size}), "
+          f"{scenes_per_sec:.1f} scenes/s", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "pointrcnn_train_step_ms",
+        "value": round(step_ms, 2), "unit": "ms/step",
+        "train_scenes_per_sec": round(scenes_per_sec, 2),
+        "batch_size": batch_size,
+    }), file=sys.stderr, flush=True)
+    return step_ms, scenes_per_sec
 
 
 def main():
@@ -127,12 +212,24 @@ def main():
     dt = time.time() - t0
     scenes_per_sec = batch * n_iters / dt
 
-    print(json.dumps({
+    line = {
         "metric": "pointrcnn_eval_scenes_per_sec",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 3),
-    }))
+    }
+    if not os.environ.get("TPU3D_BENCH_SKIP_TRAIN"):
+        try:
+            train_ms, train_sps = bench_train()
+            line["train_step_ms"] = round(train_ms, 2)
+            line["train_scenes_per_sec"] = round(train_sps, 2)
+        except Exception as e:  # train bench must never break the headline
+            import sys
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            line["train_bench_error"] = str(e)[:200]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
