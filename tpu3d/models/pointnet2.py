@@ -29,7 +29,47 @@ from ..ops import (
     three_nn,
 )
 from ..ops.envflags import env_flag
+from ..ops.fused_sa import (fused_bn_mlp_pool, fused_mlp_pool,
+                            fused_sa_supported)
 from ..ops.grouping import ball_query_from_nearest, nearest_k
+
+
+class _DenseKernel(nn.Module):
+    """Parameter twin of nn.Dense: declares kernel (and bias, when used)
+    with the identical names/shapes/inits without running the matmul (the
+    fused SA slab kernel consumes the weights directly). Keeps the parameter
+    tree — and therefore checkpoints — interchangeable with the unfused
+    path."""
+
+    in_features: int
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (self.in_features, self.features))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            return kernel, bias
+        return kernel
+
+
+class _BNState(nn.Module):
+    """Parameter/state twin of BatchNorm (scale, bias, batch_stats mean/var),
+    for the fused SA path where normalization runs inside the kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        shape = (self.features,)
+        scale = self.param("scale", nn.initializers.ones, shape)
+        bias = self.param("bias", nn.initializers.zeros, shape)
+        mean = self.variable("batch_stats", "mean", jnp.zeros, shape)
+        var = self.variable("batch_stats", "var", jnp.ones, shape)
+        return scale, bias, mean, var
 
 
 class BatchNorm(nn.Module):
@@ -85,13 +125,57 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.9,
-                 first_pre=None):
+                 first_pre=None, fused_pool: bool = False):
         """``first_pre``, when given, is a callable receiving the layer-0
         Dense *module* and returning the layer-0 pre-activation directly
         (``x`` is then ignored for layer 0). This lets callers restructure
         the first matmul (e.g. the SA pre-group algebra) while keeping the
         parameter tree identical to the plain path — checkpoints are
-        interchangeable regardless of which execution strategy ran."""
+        interchangeable regardless of which execution strategy ran.
+
+        ``fused_pool``: run layers 1..2 + the neighborhood max-pool through
+        the fused Pallas slab kernel (ops/fused_sa.py) and return the POOLED
+        (B, M, C_out) features — the (B, M, S, C) slab never reaches HBM
+        again after the layer-0 pre-activation. Requires bn, 3 channels, a
+        trailing activation, and a ``first_pre`` that yields the 4-D slab.
+        The parameter tree is identical to the plain path (_DenseKernel /
+        _BNState twins)."""
+        if fused_pool:
+            assert (first_pre is not None
+                    and len(self.channels) == 3 and self.last_activation)
+            dense0 = nn.Dense(self.channels[0], use_bias=not self.bn,
+                              kernel_init=nn.initializers.he_normal(),
+                              dtype=(None if self.first_f32 else self.dtype),
+                              name="dense_0")
+            x0 = first_pre(dense0)  # (B, M, S, C1) slab
+            if not self.bn:
+                # no-BN chain (the default.yaml RCNN head): single-pass
+                # fused kernel, biases instead of normalization
+                w1, b1 = _DenseKernel(self.channels[0], self.channels[1],
+                                      use_bias=True, name="dense_1")()
+                w2, b2 = _DenseKernel(self.channels[1], self.channels[2],
+                                      use_bias=True, name="dense_2")()
+                return fused_mlp_pool(x0, w1, b1, w2, b2, train=train)
+            w1 = _DenseKernel(self.channels[0], self.channels[1],
+                              name="dense_1")()
+            w2 = _DenseKernel(self.channels[1], self.channels[2],
+                              name="dense_2")()
+            bn_states = [_BNState(c, name=f"bn_{i}")()
+                         for i, c in enumerate(self.channels)]
+            gammas = tuple(s for s, _, _, _ in bn_states)
+            betas = tuple(b for _, b, _, _ in bn_states)
+            if train:
+                pooled, (means, vars_) = fused_bn_mlp_pool(
+                    x0, w1, w2, gammas, betas)
+                if not self.is_initializing():
+                    for (_, _, m, v), bm, bv in zip(bn_states, means, vars_):
+                        m.value = bn_momentum * m.value + (1 - bn_momentum) * bm
+                        v.value = bn_momentum * v.value + (1 - bn_momentum) * bv
+                return pooled
+            return fused_bn_mlp_pool(
+                x0, w1, w2, gammas, betas,
+                stats=tuple((m.value, v.value)
+                            for _, _, m, v in bn_states))
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
             dense = nn.Dense(ch, use_bias=not self.bn,
@@ -209,10 +293,20 @@ class PointnetSAModuleMSG(nn.Module):
                     cdt = (features.dtype if first_f32
                            else (self.dtype or features.dtype))
                     # TPU3D_F32_EVAL=1: full-precision TPU eval numerics
-                    # (debug escape hatch for CPU-vs-TPU parity hunts)
-                    bf16_ok = (jax.default_backend() == "tpu"
+                    # (debug escape hatch for CPU-vs-TPU parity hunts).
+                    # TPU3D_FORCE_FUSED_SA=1 enables the bf16 casts + fused
+                    # slab kernel off-TPU (interpret mode; tests only).
+                    force_fused = env_flag("TPU3D_FORCE_FUSED_SA")
+                    bf16_ok = ((jax.default_backend() == "tpu" or force_fused)
                                and (self.train_bf16 if train
                                     else not env_flag("TPU3D_F32_EVAL")))
+                    # fused Pallas slab path: canonical bf16 frames whose
+                    # MLP the kernel supports — the grouped slab stays out
+                    # of HBM after the layer-0 pre-activation
+                    use_fused = (bf16_ok and self.canonical
+                                 and fused_sa_supported(
+                                     (xyz.shape[0], self.npoint, nsample,
+                                      mlp[0]), mlp))
 
                     def pre0(dense0, *, idx=idx, new_xyz=new_xyz, cdt=cdt):
                         if self.use_xyz:
@@ -250,12 +344,17 @@ class PointnetSAModuleMSG(nn.Module):
                             x = x.astype(jnp.bfloat16)
                         return x
 
-                    out = SharedMLP(mlp, bn=self.bn, dtype=self.dtype,
-                                    first_f32=first_f32,
-                                    name=f"mlp_{i}")(
-                        None, train=train, bn_momentum=bn_momentum,
-                        first_pre=pre0)
-                    scale_features.append(jnp.max(out, axis=2))
+                    mlp_mod = SharedMLP(mlp, bn=self.bn, dtype=self.dtype,
+                                        first_f32=first_f32,
+                                        name=f"mlp_{i}")
+                    if use_fused:
+                        scale_features.append(mlp_mod(
+                            None, train=train, bn_momentum=bn_momentum,
+                            first_pre=pre0, fused_pool=True))
+                    else:
+                        out = mlp_mod(None, train=train,
+                                      bn_momentum=bn_momentum, first_pre=pre0)
+                        scale_features.append(jnp.max(out, axis=2))
                     continue
                 if cand_xyz is not None:
                     # derive this scale's grouped xyz from the shared
