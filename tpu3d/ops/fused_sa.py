@@ -55,8 +55,12 @@ def _ensure_pallas():
     return pl
 
 
-def _pick_blk(rows: int, s: int, target: int = 2048) -> int:
-    """Largest multiple of s that divides rows and is <= max(target, s)."""
+def _pick_blk(rows: int, s: int, target: int = 8192) -> int:
+    """Largest multiple of s that divides rows and is <= max(target, s).
+
+    target 8192 (one whole SA_0 ROI per step) measured fastest with the
+    raised VMEM limit: 22.6 / 24.5 / 26.0 ms fwd+bwd at 8192/4096/2048 for
+    the standalone SA_0-shape chain; grid-step overhead dominates below."""
     blk = max(s, (target // s) * s)
     while rows % blk != 0:
         blk -= s
@@ -342,6 +346,12 @@ def _slab_call(kernel, x0, small_inputs, out_shapes, blk, s, interpret):
                                           memory_space=pltpu.VMEM))
             shapes.append(jax.ShapeDtypeStruct(trail, dtype))
     single = len(out_shapes) == 1
+    params = {}
+    if not interpret:
+        # v5e cores have far more VMEM than Mosaic's conservative default;
+        # the 4096-row tiles of the backward kernel need the headroom
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=(B, nblk),
@@ -349,6 +359,7 @@ def _slab_call(kernel, x0, small_inputs, out_shapes, blk, s, interpret):
         out_specs=out_specs[0] if single else tuple(out_specs),
         out_shape=shapes[0] if single else tuple(shapes),
         interpret=interpret,
+        **params,
     )(x0, *small_inputs)
 
 
