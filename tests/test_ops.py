@@ -353,6 +353,45 @@ def test_three_interpolate_mxu_vjp_matches_autodiff(rng, chunk_bytes,
             jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w))))
 
 
+def test_three_interpolate_pallas_matches_gather(rng):
+    """The fully-fused Pallas interpolation (in-kernel one-hot rows +
+    VMEM accumulator backward; the FP_0 wide-table path) vs the plain
+    gather formulation, forward and grads — interpret mode on CPU."""
+    from tpu3d.ops.interpolate import (_three_interpolate_pallas,
+                                       _ti_gather_fwd_impl)
+
+    B, N, M, C = 2, 256, 264, 128  # M a non-128 multiple of 8
+    feats = rng.normal(size=(B, N, C)).astype(np.float32)
+    idx = rng.integers(0, N, size=(B, M, 3)).astype(np.int32)
+    w = rng.random((B, M, 3)).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    g = rng.normal(size=(B, M, C)).astype(np.float32)
+
+    out = np.asarray(_three_interpolate_pallas(
+        jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w), True))
+    ref = np.asarray(_ti_gather_fwd_impl(
+        jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w)))
+    err = np.abs(out - ref)
+    assert err.max() < 0.05, err.max()  # bf16 rows/features rounding
+
+    def loss_pallas(f, wt):
+        return jnp.sum(_three_interpolate_pallas(f, jnp.asarray(idx), wt,
+                                                 True) * jnp.asarray(g))
+
+    def loss_ref(f, wt):
+        return jnp.sum(_ti_gather_fwd_impl(f, jnp.asarray(idx), wt)
+                       * jnp.asarray(g))
+
+    gf, gw = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(feats),
+                                                   jnp.asarray(w))
+    gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(feats),
+                                                    jnp.asarray(w))
+    for a, b, tol in ((gf, gf_r, 0.1), (gw, gw_r, 0.3)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        e = np.abs(a - b) / (np.abs(b).max() + 1e-3)
+        assert e.max() < tol and e.mean() < 5e-3, (e.max(), e.mean())
+
+
 @pytest.mark.parametrize("chunk_bytes", [None, 2 * 160 * 2 * 96,
                                          2 * 160 * 2 * 100])
 def test_group_points_mxu_vjp_matches_autodiff(rng, chunk_bytes, monkeypatch):

@@ -43,11 +43,7 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
         d2k, idx = _three_nn_pallas(unknown, known)
         if not differentiable:
             return jnp.sqrt(jnp.maximum(d2k, 0.0)), idx
-        picked = jnp.take_along_axis(
-            known, idx.reshape(B, M * 3)[..., None], axis=1
-        ).reshape(B, M, 3, 3)
-        d2 = jnp.sum((unknown[:, :, None, :] - picked) ** 2, axis=-1)
-        return jnp.sqrt(jnp.maximum(d2, 0.0)), idx
+        return nn_dist_from_idx(unknown, known, idx), idx
     d2 = jnp.sum((unknown[:, :, None, :] - known[:, None, :, :]) ** 2, axis=-1)
     min_d2, idx = jax.lax.approx_min_k(d2, 3, recall_target=0.99)
     return jnp.sqrt(jnp.maximum(min_d2, 0.0)), idx.astype(jnp.int32)
@@ -170,14 +166,28 @@ def _three_nn_pallas(unknown: jnp.ndarray, known: jnp.ndarray,
             jnp.transpose(idx_o, (0, 2, 1)))  # ((B,M,3) d2, (B,M,3) idx)
 
 
+def _pick_coords(known: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, 3) coords gathered by (B, M, 3) idx -> (B, M, 3, 3). On TPU the
+    row gather runs as an exact f32 one-hot einsum on the MXU (XLA fuses the
+    one-hot into the dot; random-row gathers cost ~4.5 ms at the FP_0
+    training shape vs ~0.5 ms of f32 matmul) — bitwise-equal values, and the
+    VJP is the transposed einsum instead of a serialized scatter."""
+    B, M, _ = idx.shape
+    N = known.shape[1]
+    if jax.default_backend() == "tpu" and N <= 8192:
+        oh = jax.nn.one_hot(idx.reshape(B, M * 3), N, dtype=jnp.float32)
+        return jnp.einsum("bkn,bnc->bkc", oh, known.astype(jnp.float32),
+                          precision="highest").reshape(B, M, 3, 3)
+    return jnp.take_along_axis(
+        known, idx.reshape(B, M * 3)[..., None], axis=1).reshape(B, M, 3, 3)
+
+
 def nn_dist_from_idx(unknown: jnp.ndarray, known: jnp.ndarray,
                      idx: jnp.ndarray) -> jnp.ndarray:
     """Differentiable recompute of the picked 3-NN distances from coordinates
     ((B, M, 3) queries, (B, N, 3) sources, (B, M, 3) idx) — the training path
     of three_nn, shared by the fused FPS+3NN route."""
-    B, M, _ = idx.shape
-    picked = jnp.take_along_axis(
-        known, idx.reshape(B, M * 3)[..., None], axis=1).reshape(B, M, 3, 3)
+    picked = _pick_coords(known, idx)
     d2 = jnp.sum((unknown[:, :, None, :] - picked) ** 2, axis=-1)
     return jnp.sqrt(jnp.maximum(d2, 0.0))
 
@@ -211,6 +221,14 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     if jax.default_backend() == "tpu" and C >= 16:
         if N <= 1024:
             return _three_interpolate_onehot(features, idx, weight)
+        if (C % 128 == 0 and N % 128 == 0 and M % 8 == 0
+                and N * C * 2 <= 8 * 1024 * 1024
+                and not env_flag("TPU3D_DISABLE_PALLAS")):
+            # wide table that still fits VMEM (FP_0: N=4096, C=256): the
+            # fully-fused Pallas path — in-kernel one-hot rows feeding the
+            # MXU, VMEM-resident d_features accumulator (see kernel block
+            # comment above _ti_fwd_kernel)
+            return _three_interpolate_pallas(features, idx, weight, False)
         return _three_interpolate_gather_mxu_vjp(features, idx, weight)
     gathered = jnp.take_along_axis(
         features, idx.reshape(B, M * 3)[..., None], axis=1
@@ -225,6 +243,162 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
 # 3 neighbor rows x bf16). 96 MB keeps FP_0-shape chunks at the profiled
 # sizes (e.g. B16/N4096 -> chunk 256) while bounding the slab honestly.
 _ONEHOT_SLAB_BYTES = 96 * 1024 * 1024
+
+
+# --------------------------------------------------------------------------
+# Fully-fused Pallas interpolation for wide tables (FP_0: N=4096, M=16384,
+# C=256). The source table lives in VMEM per batch element; the weighted
+# one-hot rows are BUILT IN-KERNEL and immediately consumed by the MXU, so
+# neither the (M, N) row matrix nor any gathered slab ever touches HBM. The
+# backward accumulates d_features into a VMEM-resident (N, C) block across
+# the M-tiles of each batch element and emits the weight grads from three
+# unweighted one-hot dots. Replaces: the XLA row-gather forward (random-row
+# reads run ~30x under HBM bandwidth) and the chunked-scan backward whose
+# (B, N, C) f32 accumulator XLA spilled to HBM (64 round trips/step at the
+# FP_0 training shape — the dominant interpolate cost in the r4 trace).
+# --------------------------------------------------------------------------
+
+
+def _ti_fwd_kernel(tm, n, f_ref, i_ref, w_ref, o_ref):
+    """idx/weight arrive transposed as (1, 3, tm) blocks: row slices give
+    clean (tm,) vectors whose [:, None] sublane broadcast Mosaic handles
+    (the lane-dim-3 layout of an untransposed block does not relayout)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    rows = jnp.zeros((tm, n), jnp.bfloat16)
+    for j in range(3):
+        sel = (lane - i_ref[0, j][:, None]) == 0
+        rows = rows + (sel.astype(jnp.bfloat16)
+                       * w_ref[0, j][:, None].astype(jnp.bfloat16))
+    o_ref[0] = jnp.dot(rows, f_ref[0],
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _ti_bwd_kernel(tm, n, f_ref, i_ref, w_ref, g_ref, df_ref, dw_ref):
+    pl = _pl()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n), 1)
+    gf = g_ref[0].astype(jnp.float32)
+    gb = gf.astype(jnp.bfloat16)
+    rows = jnp.zeros((tm, n), jnp.bfloat16)
+    for j in range(3):
+        sel = (lane - i_ref[0, j][:, None]) == 0
+        ohj = sel.astype(jnp.bfloat16)
+        rows = rows + ohj * w_ref[0, j][:, None].astype(jnp.bfloat16)
+        # dw_j[m] = <features[idx_j[m]], g[m]>
+        uj = jnp.dot(ohj, f_ref[0], preferred_element_type=jnp.float32)
+        dw_ref[0, j] = jnp.sum(uj * gf, axis=1)
+    dfp = jax.lax.dot_general(rows, gb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    first = pl.program_id(1) == 0  # new batch element -> fresh accumulator
+
+    @pl.when(first)
+    def _():
+        df_ref[0] = dfp
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        df_ref[0] += dfp
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+    return pl
+
+
+def _ti_pick_tm(m: int, target: int = 512) -> int:
+    tm = min(m, target)
+    while m % tm != 0:
+        tm -= 8
+    return max(tm, 8)
+
+
+def _ti_pallas_fwd_impl(features, idx, weight, interpret):
+    pl = _pl()
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = features.shape
+    M = idx.shape[1]
+    tm = _ti_pick_tm(M)
+    fb = features.astype(jnp.bfloat16)
+    i_t = jnp.transpose(idx, (0, 2, 1))      # (B, 3, M)
+    w_t = jnp.transpose(weight, (0, 2, 1)).astype(jnp.float32)
+    params = ({} if interpret else {"compiler_params":
+               __import__("jax.experimental.pallas.tpu", fromlist=["x"]
+               ).CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)})
+    out = pl.pallas_call(
+        partial(_ti_fwd_kernel, tm, N),
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tm), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tm), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, C), features.dtype),
+        interpret=interpret,
+        **params,
+    )(fb, i_t, w_t)
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _three_interpolate_pallas(features, idx, weight, interpret):
+    return _ti_pallas_fwd_impl(features, idx, weight, interpret)
+
+
+def _ti_pallas_fwd(features, idx, weight, interpret):
+    return (_ti_pallas_fwd_impl(features, idx, weight, interpret),
+            (features, idx, weight))
+
+
+def _ti_pallas_bwd(interpret, res, g):
+    pl = _pl()
+    from jax.experimental.pallas import tpu as pltpu
+
+    features, idx, weight = res
+    B, N, C = features.shape
+    M = idx.shape[1]
+    tm = _ti_pick_tm(M)
+    fb = features.astype(jnp.bfloat16)
+    i_t = jnp.transpose(idx, (0, 2, 1))      # (B, 3, M)
+    w_t = jnp.transpose(weight, (0, 2, 1)).astype(jnp.float32)
+    params = ({} if interpret else {"compiler_params":
+               __import__("jax.experimental.pallas.tpu", fromlist=["x"]
+               ).CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)})
+    df, dw = pl.pallas_call(
+        partial(_ti_bwd_kernel, tm, N),
+        grid=(B, M // tm),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tm), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tm), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, C), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tm), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, M), jnp.float32),
+        ),
+        interpret=interpret,
+        **params,
+    )(fb, i_t, w_t, g)
+    return (df.astype(features.dtype), None,
+            jnp.transpose(dw, (0, 2, 1)).astype(weight.dtype))
+
+
+_three_interpolate_pallas.defvjp(_ti_pallas_fwd, _ti_pallas_bwd)
 
 
 def _ti_gather_fwd_impl(features, idx, weight):
