@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from tpu3d.ops.fused_sa import (
     fused_bn_mlp_pool,
     fused_bn_mlp_pool_reference,
+    fused_gathered_mlp_pool,
     fused_mlp_pool,
     fused_mlp_pool_reference,
     fused_sa_supported,
@@ -160,6 +161,64 @@ def test_fused_nobn_forward_and_grads(shape):
         assert err.mean() < 5e-3, (name, err.mean())
 
 
+@pytest.mark.parametrize("shape", SHAPES)
+def test_fused_gathered_nobn(shape):
+    """v2: the grouping gather folded into the no-BN kernels — forward,
+    eval, and grads (d_pre through the in-kernel transposed one-hot,
+    d_center through the per-tile reduce) vs the gather + unfused chain."""
+    B, M, S, C1, C2, C3 = shape
+    N = 128
+    rng = np.random.default_rng(9)
+    pre = jnp.asarray(rng.normal(size=(B, N, C1)), jnp.float32
+                      ).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, N, size=(B, M, S)), jnp.int32)
+    center = jnp.asarray(0.5 * rng.normal(size=(B, M, C1)), jnp.float32
+                         ).astype(jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(C1, C2)) / np.sqrt(C1), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(C2, C3)) / np.sqrt(C2), jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.normal(size=C2), jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.normal(size=C3), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, M, C3)), jnp.float32)
+
+    def ref_chain(pre, center, w1, b1, w2, b2, pool):
+        gath = jnp.take_along_axis(
+            pre, idx.reshape(B, M * S)[..., None], axis=1
+        ).reshape(B, M, S, C1)
+        x0 = gath - center[:, :, None, :]
+        return fused_mlp_pool_reference(x0, w1, b1, w2, b2, pool=pool)
+
+    out = jax.jit(lambda *a: fused_gathered_mlp_pool(
+        *a, train=True, interpret=True))(pre, idx, center, w1, b1, w2, b2)
+    ref = ref_chain(pre, center, w1, b1, w2, b2, "max")
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 0.1, err.max()
+
+    out_e = jax.jit(lambda *a: fused_gathered_mlp_pool(
+        *a, train=False, interpret=True))(pre, idx, center, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out_e, np.float32),
+                               np.asarray(out, np.float32), atol=1e-2)
+
+    def loss_fused(pre, center, w1, b1, w2, b2):
+        return jnp.sum(fused_gathered_mlp_pool(
+            pre, idx, center, w1, b1, w2, b2, train=True, interpret=True
+        ).astype(jnp.float32) * g)
+
+    def loss_ref(*a):
+        return jnp.sum(ref_chain(*a, "first").astype(jnp.float32) * g)
+
+    grads_f = jax.jit(jax.grad(loss_fused, argnums=tuple(range(6))))(
+        pre, center, w1, b1, w2, b2)
+    grads_r = jax.jit(jax.grad(loss_ref, argnums=tuple(range(6))))(
+        pre, center, w1, b1, w2, b2)
+    for name, gf, gr in zip(("d_pre", "d_center", "d_w1", "d_b1", "d_w2",
+                             "d_b2"), grads_f, grads_r):
+        a = np.asarray(gf, np.float32)
+        b = np.asarray(gr, np.float32)
+        err = np.abs(a - b) / (np.abs(b).max() + 1e-3)
+        assert err.max() < 0.08, (name, err.max())
+        assert err.mean() < 5e-3, (name, err.mean())
+
+
 def test_shared_mlp_fused_pool_matches_unfused():
     """Same variables must drive both execution strategies: identical param
     tree, matching pooled output and batch-stats updates, matching eval."""
@@ -216,7 +275,9 @@ def test_sa_module_fused_dispatch_matches_unfused(monkeypatch, use_bn):
     False is the default.yaml RCNN configuration (single-pass kernels)."""
     from tpu3d.models.pointnet2 import PointnetSAModuleMSG
 
-    B, N, C = 2, 64, 128
+    # N=128 so bn=False exercises the v2 in-kernel-gather path
+    # (fused_gather_supported needs a 128-multiple table)
+    B, N, C = 2, 128, 128
     rng = np.random.default_rng(11)
     xyz = jnp.asarray(rng.uniform(-2, 2, size=(B, N, 3)), jnp.float32)
     feats = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)

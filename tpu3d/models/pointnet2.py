@@ -29,7 +29,8 @@ from ..ops import (
     three_nn,
 )
 from ..ops.envflags import env_flag
-from ..ops.fused_sa import (fused_bn_mlp_pool, fused_mlp_pool,
+from ..ops.fused_sa import (fused_bn_mlp_pool, fused_gather_supported,
+                            fused_gathered_mlp_pool, fused_mlp_pool,
                             fused_sa_supported)
 from ..ops.grouping import ball_query_from_nearest, nearest_k
 
@@ -125,7 +126,8 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.9,
-                 first_pre=None, fused_pool: bool = False):
+                 first_pre=None, fused_pool: bool = False,
+                 fused_gather=None):
         """``first_pre``, when given, is a callable receiving the layer-0
         Dense *module* and returning the layer-0 pre-activation directly
         (``x`` is then ignored for layer 0). This lets callers restructure
@@ -141,13 +143,12 @@ class SharedMLP(nn.Module):
         The parameter tree is identical to the plain path (_DenseKernel /
         _BNState twins)."""
         if fused_pool:
-            assert (first_pre is not None
+            assert ((first_pre is not None or fused_gather is not None)
                     and len(self.channels) == 3 and self.last_activation)
             dense0 = nn.Dense(self.channels[0], use_bias=not self.bn,
                               kernel_init=nn.initializers.he_normal(),
                               dtype=(None if self.first_f32 else self.dtype),
                               name="dense_0")
-            x0 = first_pre(dense0)  # (B, M, S, C1) slab
             if not self.bn:
                 # no-BN chain (the default.yaml RCNN head): single-pass
                 # fused kernel, biases instead of normalization
@@ -155,7 +156,16 @@ class SharedMLP(nn.Module):
                                       use_bias=True, name="dense_1")()
                 w2, b2 = _DenseKernel(self.channels[1], self.channels[2],
                                       use_bias=True, name="dense_2")()
+                if fused_gather is not None:
+                    # v2: the grouping gather folds into the kernel; the
+                    # (B, M, S, C) slab never exists in HBM at all
+                    pre, idxg, center = fused_gather(dense0)
+                    return fused_gathered_mlp_pool(pre, idxg, center,
+                                                   w1, b1, w2, b2,
+                                                   train=train)
+                x0 = first_pre(dense0)  # (B, M, S, C1) slab
                 return fused_mlp_pool(x0, w1, b1, w2, b2, train=train)
+            x0 = first_pre(dense0)  # (B, M, S, C1) slab
             w1 = _DenseKernel(self.channels[0], self.channels[1],
                               name="dense_1")()
             w2 = _DenseKernel(self.channels[1], self.channels[2],
@@ -344,13 +354,44 @@ class PointnetSAModuleMSG(nn.Module):
                             x = x.astype(jnp.bfloat16)
                         return x
 
+                    def gather_spec(dense0, *, idx=idx, new_xyz=new_xyz,
+                                    cdt=cdt):
+                        """v2 fused inputs: per-point pre-activations, group
+                        indices, and the per-center subtraction (the W@c
+                        pregroup term minus the restored layer-0 bias row) —
+                        the gather itself runs inside the kernel."""
+                        if self.use_xyz:
+                            inp = jnp.concatenate(
+                                [xyz, features], -1).astype(cdt)
+                        else:
+                            inp = features.astype(cdt)
+                        pre = dense0(inp).astype(jnp.bfloat16)
+                        if self.use_xyz:
+                            zf = jnp.zeros(
+                                (*new_xyz.shape[:-1], features.shape[-1]),
+                                cdt)
+                            center = dense0(jnp.concatenate(
+                                [new_xyz.astype(cdt), zf], -1))
+                        else:
+                            center = jnp.zeros(
+                                (*new_xyz.shape[:-1], pre.shape[-1]),
+                                pre.dtype)
+                        if not self.bn:  # restore the layer-0 bias row
+                            bias = dense0(jnp.zeros((1, inp.shape[-1]), cdt))
+                            center = center - bias
+                        return pre, idx, center
+
                     mlp_mod = SharedMLP(mlp, bn=self.bn, dtype=self.dtype,
                                         first_f32=first_f32,
                                         name=f"mlp_{i}")
                     if use_fused:
+                        gspec = (gather_spec if not self.bn
+                                 and fused_gather_supported(xyz.shape[1])
+                                 else None)
                         scale_features.append(mlp_mod(
                             None, train=train, bn_momentum=bn_momentum,
-                            first_pre=pre0, fused_pool=True))
+                            first_pre=pre0, fused_pool=True,
+                            fused_gather=gspec))
                     else:
                         out = mlp_mod(None, train=train,
                                       bn_momentum=bn_momentum, first_pre=pre0)

@@ -81,14 +81,15 @@ def _bn_relu_train(x, gamma, beta, eps):
     var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)
     y = (((xf - mean) * inv) * gamma + beta).astype(x.dtype)
-    return jnp.maximum(y, 0), mean, var
+    return jnp.where(y > 0, y, jnp.zeros((), y.dtype)), mean, var
 
 
 def _bn_relu_eval(x, gamma, beta, mean, var, eps):
     inv = jax.lax.rsqrt(var + eps)
     mul = (inv * gamma).astype(x.dtype)
     add = (beta - mean * inv * gamma).astype(x.dtype)
-    return jnp.maximum(x * mul + add, 0)
+    y = x * mul + add
+    return jnp.where(y > 0, y, jnp.zeros((), y.dtype))
 
 
 def _pool(a2, pool):
@@ -536,17 +537,23 @@ def fused_bn_mlp_pool(x0, w1, w2, gammas, betas, *, stats=None, eps=1e-5,
 # --------------------------------------------------------------------------
 
 
+def _relu(x):
+    """ReLU with the strict subgradient (0 at x == 0) — what jax.nn.relu,
+    torch, and the fused kernels use; jnp.maximum's VJP splits ties."""
+    return jnp.where(x > 0, x, jnp.zeros((), x.dtype))
+
+
 def fused_mlp_pool_reference(x0, w1, b1, w2, b2, *, pool="max"):
     """Oracle: ReLU -> Dense(+bias) -> ReLU -> Dense(+bias) -> ReLU -> pool
     (the unfused SharedMLP chain with bn=False on the (B, M, S, C1) slab)."""
     dt = x0.dtype
-    a0 = jnp.maximum(x0, 0)
+    a0 = _relu(x0)
     x1 = (jnp.einsum("bmsc,cd->bmsd", a0, w1.astype(dt)).astype(dt)
           + b1.astype(dt))
-    a1 = jnp.maximum(x1, 0)
+    a1 = _relu(x1)
     x2 = (jnp.einsum("bmsc,cd->bmsd", a1, w2.astype(dt)).astype(dt)
           + b2.astype(dt))
-    return _pool(jnp.maximum(x2, 0), pool)
+    return _pool(_relu(x2), pool)
 
 
 def _chain_nobn(x0f, b_ref, w1_ref, w2_ref):
@@ -707,6 +714,271 @@ def fused_mlp_pool(x0, w1, b1, w2, b2, *, train=True, interpret=None):
                        w2.astype(jnp.bfloat16)],
                       [("center", (blk // S, c3), x0.dtype)], blk, S,
                       interpret)
+
+
+# --------------------------------------------------------------------------
+# v2 (no-BN): the grouping gather and its transpose fold INTO the kernels.
+# Inputs are the per-point layer-0 pre-activations (B, N, C1) — N points per
+# ROI, a VMEM-resident table — plus flat group indices and a per-center
+# subtraction term. The (B, M*S, C1) slab never exists in HBM at all: the
+# forward builds one-hot rows in VMEM and feeds the MXU; the backward
+# recomputes the chain the same way and scatters d_x0 back through the
+# transposed one-hot, accumulating d_pre per batch element in VMEM.
+# Replaces (at the SA_0 training shape): the XLA pregroup gather fusion
+# (7.4 ms), the center broadcast (3.3), the d_pre one-hot scatter fusion
+# (6.1), the slab-sized d_center/d_bias reduces (5.6), and both kernels'
+# x0 slab HBM traffic.
+# --------------------------------------------------------------------------
+
+
+def _gather_x0(idx_ref, pre_ref, c_ref, s):
+    """In-VMEM grouped gather: one-hot rows (BLK, N) on the MXU, bf16 round,
+    minus the per-center term. Returns (oh bf16, x0f f32). idx arrives as a
+    (1, 1, BLK) lane-oriented block (2-D (1, BLK) blocks violate the sublane
+    tiling rule); the [:, None] column reshape is the standard pattern."""
+    blk = idx_ref.shape[2]
+    n = pre_ref.shape[1]
+    blk_m = blk // s
+    lane = jax.lax.broadcasted_iota(jnp.int32, (blk, n), 1)
+    oh = ((lane - idx_ref[0, 0][:, None]) == 0).astype(jnp.bfloat16)
+    g16 = jnp.dot(oh, pre_ref[0], preferred_element_type=jnp.float32
+                  ).astype(jnp.bfloat16)
+    c3 = g16.shape[-1]
+    cfull = jnp.broadcast_to(c_ref[0][:, None, :], (blk_m, s, c3)
+                             ).reshape(blk, c3)
+    return oh, (g16 - cfull.astype(jnp.bfloat16)).astype(jnp.float32)
+
+
+def _nobn2_fwd_kernel(s, idx_ref, pre_ref, c_ref, b_ref, w1_ref, w2_ref,
+                      out_ref, arg_ref, ppre_ref):
+    _, x0f = _gather_x0(idx_ref, pre_ref, c_ref, s)
+    *_, x2f = _chain_nobn(x0f, b_ref, w1_ref, w2_ref)
+    a2 = jnp.maximum(x2f, 0.0)
+    blk_m, c3 = a2.shape[0] // s, a2.shape[-1]
+    shape3 = (blk_m, s, c3)
+    a2r = a2.astype(jnp.bfloat16).astype(jnp.float32).reshape(shape3)
+    mx = jnp.max(a2r, axis=1)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+    eq = a2r == jnp.broadcast_to(mx[:, None, :], shape3)
+    arg = jnp.min(jnp.where(eq, s_iota, s), axis=1)
+    sel = s_iota == jnp.broadcast_to(arg[:, None, :], shape3)
+    ppre = jnp.sum(jnp.where(sel, x2f.reshape(shape3), 0.0), axis=1)
+    out_ref[0] = mx.astype(out_ref.dtype)
+    arg_ref[0] = arg
+    ppre_ref[0] = ppre
+
+
+def _nobn2_eval_kernel(s, idx_ref, pre_ref, c_ref, b_ref, w1_ref, w2_ref,
+                       out_ref):
+    _, x0f = _gather_x0(idx_ref, pre_ref, c_ref, s)
+    *_, x2f = _chain_nobn(x0f, b_ref, w1_ref, w2_ref)
+    a2 = jnp.maximum(x2f, 0.0)
+    blk_m = a2.shape[0] // s
+    a2r = a2.astype(out_ref.dtype).astype(jnp.float32)
+    out_ref[0] = jnp.max(a2r.reshape(blk_m, s, -1), axis=1).astype(
+        out_ref.dtype)
+
+
+def _nobn2_bwd_kernel(s, idx_ref, pre_ref, c_ref, b_ref, dval_ref, arg_ref,
+                      w1_ref, w2_ref, dpre_ref, dc_ref, red_ref, dw1_ref,
+                      dw2_ref):
+    oh, x0f = _gather_x0(idx_ref, pre_ref, c_ref, s)
+    a0, x1f, a1, x2f = _chain_nobn(x0f, b_ref, w1_ref, w2_ref)
+    blk_m, c3 = dval_ref.shape[1], dval_ref.shape[2]
+    shape3 = (blk_m, s, c3)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+    sel = s_iota == jnp.broadcast_to(arg_ref[0][:, None, :], shape3)
+    d_x2 = jnp.where(sel, jnp.broadcast_to(dval_ref[0][:, None, :], shape3),
+                     0.0).reshape(blk_m * s, c3)
+    d_x2b = d_x2.astype(jnp.bfloat16)
+    _accum(dw2_ref, jax.lax.dot_general(
+        a1, d_x2b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    d_a1 = jax.lax.dot_general(d_x2b, w2_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    d_x1 = jnp.where(x1f > 0, d_a1, 0.0)
+    d_x1b = d_x1.astype(jnp.bfloat16)
+    _accum(dw1_ref, jax.lax.dot_general(
+        a0, d_x1b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    d_a0 = jax.lax.dot_general(d_x1b, w1_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    d_x0 = jnp.where(x0f > 0, d_a0, 0.0)
+    c1 = d_x0.shape[-1]
+    # d_pre = oh^T @ d_x0, accumulated across the tiles of each batch elem
+    dpre_p = jax.lax.dot_general(oh, d_x0.astype(jnp.bfloat16),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    first = pl.program_id(1) == 0
+
+    @pl.when(first)
+    def _():
+        dpre_ref[0] = dpre_p
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dpre_ref[0] += dpre_p
+
+    dc_ref[0] = -jnp.sum(d_x0.reshape(blk_m, s, c1), axis=1)
+    red_ref[0, 0] = jnp.stack([jnp.sum(d_x1, axis=0),
+                               jnp.sum(d_x1, axis=0)])
+
+
+def _g2_call(kernel, idxflat, pre, center, small, out_shapes, blk, s,
+             interpret):
+    """pallas_call helper for the gathered (v2) kernels: grid over
+    (B, rows // blk) of the VIRTUAL slab; pre is the per-batch table."""
+    pl = _ensure_pallas()
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, rows = idxflat.shape
+    N, c1 = pre.shape[1], pre.shape[2]
+    nblk = rows // blk
+    blk_m = blk // s
+    idxflat = idxflat.reshape(B, 1, rows)  # lane-oriented for the kernels
+    in_specs = [
+        pl.BlockSpec((1, 1, blk), lambda b, i: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, c1), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_m, c1), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for a in small:
+        if a.ndim == 2:
+            in_specs.append(pl.BlockSpec(a.shape, lambda b, i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, blk_m, a.shape[-1]), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM))
+    out_specs, shapes = [], []
+    for kind, trail, dtype in out_shapes:
+        if kind == "partial":
+            out_specs.append(pl.BlockSpec((1, 1) + trail,
+                                          lambda b, i: (b, i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            shapes.append(jax.ShapeDtypeStruct((B, nblk) + trail, dtype))
+        elif kind == "center":
+            out_specs.append(pl.BlockSpec((1, blk_m, trail[-1]),
+                                          lambda b, i: (b, i, 0),
+                                          memory_space=pltpu.VMEM))
+            shapes.append(jax.ShapeDtypeStruct((B, rows // s, trail[-1]),
+                                               dtype))
+        elif kind == "table":  # (B, N, C) accumulator (d_pre)
+            out_specs.append(pl.BlockSpec((1, N, trail[-1]),
+                                          lambda b, i: (b, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            shapes.append(jax.ShapeDtypeStruct((B, N, trail[-1]), dtype))
+        else:  # "accum"
+            out_specs.append(pl.BlockSpec(trail, lambda b, i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            shapes.append(jax.ShapeDtypeStruct(trail, dtype))
+    single = len(out_shapes) == 1
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nblk),
+        in_specs=in_specs,
+        out_specs=out_specs[0] if single else tuple(out_specs),
+        out_shape=shapes[0] if single else tuple(shapes),
+        interpret=interpret,
+        **params,
+    )(idxflat, pre.astype(jnp.bfloat16), center, *small)
+
+
+def _b_pack(b1, b2):
+    bmax = max(b1.shape[0], b2.shape[0])
+    return jnp.stack([
+        jnp.pad(b1.astype(jnp.float32), (0, bmax - b1.shape[0])),
+        jnp.pad(b2.astype(jnp.float32), (0, bmax - b2.shape[0]))])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_nobn2(pre, idx, center, wb, s, interpret):
+    out, _, _ = _fused_nobn2_fwd_impl(pre, idx, center, wb, s, interpret)
+    return out
+
+
+def _fused_nobn2_fwd_impl(pre, idx, center, wb, s, interpret):
+    w1, b1, w2, b2 = wb
+    B, rows = idx.shape
+    c3 = w2.shape[1]
+    blk = _pick_blk(rows, s)
+    out, argmax, ppre = _g2_call(
+        partial(_nobn2_fwd_kernel, s), idx, pre, center,
+        [_b_pack(b1, b2), w1.astype(jnp.bfloat16), w2.astype(jnp.bfloat16)],
+        [("center", (blk // s, c3), pre.dtype),
+         ("center", (blk // s, c3), jnp.int32),
+         ("center", (blk // s, c3), jnp.float32)], blk, s, interpret)
+    return out, argmax, ppre
+
+
+def _fused_nobn2_fwd(pre, idx, center, wb, s, interpret):
+    out, argmax, ppre = _fused_nobn2_fwd_impl(pre, idx, center, wb, s,
+                                              interpret)
+    return out, (pre, idx, center, wb, argmax, ppre)
+
+
+def _fused_nobn2_bwd(s, interpret, res, g_out):
+    pre, idx, center, (w1, b1, w2, b2), argmax, ppre = res
+    B, rows = idx.shape
+    c1, c2, c3 = w1.shape[0], w1.shape[1], w2.shape[1]
+    blk = _pick_blk(rows, s)
+    dval = jnp.where(ppre > 0, g_out.astype(jnp.float32), 0.0)
+    db2 = jnp.sum(dval, axis=(0, 1))
+    dpre, dc, red, dw1, dw2 = _g2_call(
+        partial(_nobn2_bwd_kernel, s), idx, pre, center,
+        [_b_pack(b1, b2), dval, argmax, w1.astype(jnp.bfloat16),
+         w2.astype(jnp.bfloat16)],
+        [("table", (0, c1), jnp.float32),
+         ("center", (blk // s, c1), jnp.float32),
+         ("partial", (2, c2), jnp.float32),
+         ("accum", (c1, c2), jnp.float32),
+         ("accum", (c2, c3), jnp.float32)], blk, s, interpret)
+    db1 = jnp.sum(red, axis=(0, 1))[0]
+    return (dpre.astype(pre.dtype), None, dc.astype(center.dtype),
+            (dw1.astype(w1.dtype), db1.astype(b1.dtype),
+             dw2.astype(w2.dtype), db2.astype(b2.dtype)))
+
+
+_fused_nobn2.defvjp(_fused_nobn2_fwd, _fused_nobn2_bwd)
+
+
+def fused_gathered_mlp_pool(pre, idx, center, w1, b1, w2, b2, *,
+                            train=True, interpret=None):
+    """v2 no-BN fused chain with the grouping gather folded in:
+    x0 = bf16(gather(pre, idx)) - center, then ReLU -> Dense -> ReLU ->
+    Dense -> ReLU -> maxpool, all in VMEM. pre (B, N, C1) per-point layer-0
+    pre-activations; idx (B, M, S) int32 group indices into N; center
+    (B, M, C1) per-center subtraction (the pregroup W@c term minus the
+    restored layer-0 bias row). Returns pooled (B, M, C3).
+
+    Gradients flow to pre, center, and the weights/biases; the grouped slab
+    and its cotangent never exist in HBM (the backward scatters through the
+    transposed one-hot in VMEM)."""
+    B, M, S = idx.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    idxflat = idx.reshape(B, M * S)
+    center = center.astype(pre.dtype)
+    if train:
+        return _fused_nobn2(pre, idxflat, center, (w1, b1, w2, b2), S,
+                            interpret)
+    blk = _pick_blk(M * S, S)
+    c3 = w2.shape[1]
+    return _g2_call(
+        partial(_nobn2_eval_kernel, S), idxflat, pre, center,
+        [_b_pack(b1, b2), w1.astype(jnp.bfloat16), w2.astype(jnp.bfloat16)],
+        [("center", (blk // S, c3), pre.dtype)], blk, S, interpret)
+
+
+def fused_gather_supported(n: int) -> bool:
+    """Whether the v2 in-kernel gather handles an n-point source table."""
+    return n % 128 == 0 and n <= 2048
 
 
 def fused_sa_supported(shape, mlp) -> bool:

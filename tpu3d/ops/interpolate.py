@@ -276,16 +276,18 @@ def _ti_fwd_kernel(tm, n, f_ref, i_ref, w_ref, o_ref):
 def _ti_bwd_kernel(tm, n, f_ref, i_ref, w_ref, g_ref, df_ref, dw_ref):
     pl = _pl()
     lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n), 1)
-    gf = g_ref[0].astype(jnp.float32)
-    gb = gf.astype(jnp.bfloat16)
+    gb = g_ref[0].astype(jnp.bfloat16)
+    # dw_j[m] = <features[idx_j[m]], g[m]> = p[m, idx_j[m]] with
+    # p = g @ features^T — ONE dot for all three neighbor slots, extracted
+    # through the same selection masks that build the weighted rows
+    p = jax.lax.dot_general(gb, f_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     rows = jnp.zeros((tm, n), jnp.bfloat16)
     for j in range(3):
         sel = (lane - i_ref[0, j][:, None]) == 0
-        ohj = sel.astype(jnp.bfloat16)
-        rows = rows + ohj * w_ref[0, j][:, None].astype(jnp.bfloat16)
-        # dw_j[m] = <features[idx_j[m]], g[m]>
-        uj = jnp.dot(ohj, f_ref[0], preferred_element_type=jnp.float32)
-        dw_ref[0, j] = jnp.sum(uj * gf, axis=1)
+        rows = rows + (sel.astype(jnp.bfloat16)
+                       * w_ref[0, j][:, None].astype(jnp.bfloat16))
+        dw_ref[0, j] = jnp.sum(jnp.where(sel, p, 0.0), axis=1)
     dfp = jax.lax.dot_general(rows, gb, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     first = pl.program_id(1) == 0  # new batch element -> fresh accumulator
