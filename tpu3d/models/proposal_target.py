@@ -200,6 +200,33 @@ def _roi_data_augmentation(key, pts, rois, gt_of_rois, aug_rot_range):
     return pts, rois, gt_of_rois
 
 
+def canonicalize_rcnn_targets(sampled_pts, batch_rois, batch_gt_of_rois,
+                              batch_roi_iou, empty_flag, rcnn_cfg):
+    """Canonical transform + cls/reg label masks — the deterministic tail of
+    the proposal-target layer (reference: proposal_target_layer.py:45-66).
+    Shared by the layer and the reference-differential test. Shapes
+    (B, R, K, 3) / (B, R, 7) / (B, R); returns (canonical pts,
+    canonical gt_of_rois, cls_label, reg_valid_mask)."""
+    roi_ry = batch_rois[..., 6] % (2 * np.pi)
+    roi_center = batch_rois[..., 0:3]
+    sampled_pts = sampled_pts - roi_center[:, :, None, :]
+    batch_gt_of_rois = batch_gt_of_rois.at[..., 0:3].add(-roi_center)
+    batch_gt_of_rois = batch_gt_of_rois.at[..., 6].add(-roi_ry)
+    sampled_pts = rotate_points_along_y(sampled_pts,
+                                        batch_rois[..., 6][..., None])
+    batch_gt_of_rois = rotate_points_along_y(batch_gt_of_rois, roi_ry)
+
+    valid_mask = ~empty_flag
+    reg_valid_mask = ((batch_roi_iou > rcnn_cfg.REG_FG_THRESH)
+                      & valid_mask).astype(jnp.int32)
+    cls_label = (batch_roi_iou > rcnn_cfg.CLS_FG_THRESH).astype(jnp.int32)
+    invalid = ((batch_roi_iou > rcnn_cfg.CLS_BG_THRESH)
+               & (batch_roi_iou < rcnn_cfg.CLS_FG_THRESH))
+    cls_label = jnp.where(valid_mask, cls_label, -1)
+    cls_label = jnp.where(invalid, -1, cls_label)
+    return sampled_pts, batch_gt_of_rois, cls_label, reg_valid_mask
+
+
 def proposal_target_layer(key, roi_boxes3d, roi_valid, gt_boxes3d, rpn_xyz,
                           pts_feature, cfg, aug_data: bool = True):
     """Sample ROIs, pool their points, build canonical-frame RCNN targets.
@@ -265,23 +292,9 @@ def proposal_target_layer(key, roi_boxes3d, roi_valid, gt_boxes3d, rpn_xyz,
                 k, p, r, g, float(cfg.AUG_ROT_RANGE)))(
             aug_keys, sampled_pts, batch_rois, batch_gt_of_rois)
 
-    # canonical transformation (reference: proposal_target_layer.py:45-56)
-    roi_ry = batch_rois[..., 6] % (2 * np.pi)
-    roi_center = batch_rois[..., 0:3]
-    sampled_pts = sampled_pts - roi_center[:, :, None, :]
-    batch_gt_of_rois = batch_gt_of_rois.at[..., 0:3].add(-roi_center)
-    batch_gt_of_rois = batch_gt_of_rois.at[..., 6].add(-roi_ry)
-    sampled_pts = rotate_points_along_y(sampled_pts, batch_rois[..., 6][..., None])
-    batch_gt_of_rois = rotate_points_along_y(batch_gt_of_rois, roi_ry)
-
-    valid_mask = ~empty_flag
-    reg_valid_mask = ((batch_roi_iou > rcnn_cfg.REG_FG_THRESH)
-                      & valid_mask).astype(jnp.int32)
-    cls_label = (batch_roi_iou > rcnn_cfg.CLS_FG_THRESH).astype(jnp.int32)
-    invalid = ((batch_roi_iou > rcnn_cfg.CLS_BG_THRESH)
-               & (batch_roi_iou < rcnn_cfg.CLS_FG_THRESH))
-    cls_label = jnp.where(valid_mask, cls_label, -1)
-    cls_label = jnp.where(invalid, -1, cls_label)
+    sampled_pts, batch_gt_of_rois, cls_label, reg_valid_mask = (
+        canonicalize_rcnn_targets(sampled_pts, batch_rois, batch_gt_of_rois,
+                                  batch_roi_iou, empty_flag, rcnn_cfg))
 
     K = int(rcnn_cfg.NUM_POINTS)
     return {
