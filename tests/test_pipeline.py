@@ -206,6 +206,49 @@ def test_checkpoint_roundtrip_and_partial(tmp_path):
     np.testing.assert_array_equal(np.asarray(r_new[0]), np.asarray(r_old[0]))
 
 
+def test_checkpoint_opt_state_structure_fallback(tmp_path):
+    """A checkpoint whose optimizer-state structure no longer matches the
+    current optax chain (e.g. the round-4 removal of the weight-decay mask)
+    must still restore params/batch_stats/step, re-initializing opt_state
+    with a warning."""
+    import warnings as _warnings
+
+    import jax
+    import optax
+
+    from tpu3d.models import PointRCNN
+    from tpu3d.parallel import create_train_state
+    from tpu3d.parallel.train_state import _wd_mask
+    from tpu3d.utils.checkpoint import load_checkpoint, save_checkpoint
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_model import small_cfg, _pts
+
+    rng = np.random.default_rng(0)
+    c = small_cfg()
+    model = PointRCNN(cfg=c, mode="TRAIN")
+    pts = _pts(rng, 1, c.RPN.NUM_POINTS)
+    state = create_train_state(c, model, {"pts_input": pts},
+                               jax.random.PRNGKey(0), 2, 2)
+    # legacy structure: masked weight decay wraps the adam state
+    legacy_tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(1e-3, mask=_wd_mask(state.params)))
+    legacy = state.replace(tx=legacy_tx,
+                           opt_state=legacy_tx.init(state.params))
+    path = save_checkpoint(str(tmp_path), legacy, epoch=3)
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        restored, epoch = load_checkpoint(path, state)
+    assert epoch == 3
+    assert any("optimizer-state structure" in str(w.message) for w in caught)
+    leaf_a = jax.tree_util.tree_leaves(legacy.params)[0]
+    leaf_b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
 def test_config_yaml_and_overrides(tmp_path):
     from tpu3d.config import cfg_from_file, cfg_from_list, fresh_cfg
 

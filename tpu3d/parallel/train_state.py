@@ -40,8 +40,12 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def _wd_mask(params):
-    """True weight decay only on matmul kernels (bias/BN scale excluded) —
-    mirrors the reference's layer-group split intent (fastai_optim.py:101-233)."""
+    """(Unused by the default optimizer — kept for A/B studies.) Kernel-only
+    weight-decay mask. The reference's OptimWrapper is created with
+    bn_wd=True (train_rcnn.py:115), so its true weight decay multiplies
+    EVERY parameter group — kernels, biases, and BN scale/bias alike — by
+    (1 - wd*lr) each step (fastai_optim.py:133-147); make_optimizer
+    therefore applies adamw's decoupled decay unmasked."""
     def mask_leaf(path, _):
         return path[-1].key == "kernel"
 
@@ -106,9 +110,13 @@ def make_optimizer(cfg, steps_per_epoch: int, total_epochs: int,
     lr = make_lr_schedule(cfg, steps_per_epoch, total_epochs)
     mom = make_momentum_schedule(cfg, steps_per_epoch, total_epochs)
     wd = float(train.WEIGHT_DECAY)
+    # b2=0.99: the reference's Adam is built with betas=(0.9, 0.99)
+    # (train_rcnn.py:113 optimizer_func); b1 is the scheduled momentum.
+    # Decay is unmasked (reference bn_wd=True decays every group; see
+    # _wd_mask). Both pinned by the training-trajectory differential
+    # (tests/test_train_trajectory_reference_diff.py).
     adam = optax.inject_hyperparams(optax.adamw)(
-        learning_rate=lr, b1=mom, weight_decay=wd,
-        mask=_wd_mask(params) if wd > 0 else None)
+        learning_rate=lr, b1=mom, b2=0.99, weight_decay=wd)
     return optax.chain(optax.clip_by_global_norm(train.GRAD_NORM_CLIP), adam)
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 import re
 
+import warnings
+
 import flax.serialization
 import jax
 import jax.numpy as jnp
@@ -100,17 +102,39 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int) -> str:
 
 
 def load_checkpoint(path: str, state):
-    """Full restore (params + optimizer + step); returns (state, epoch)."""
+    """Full restore (params + optimizer + step); returns (state, epoch).
+
+    When the checkpoint's optimizer-state STRUCTURE no longer matches the
+    current optimizer (the optax chain changed between releases — e.g. the
+    round-4 removal of the weight-decay mask), fall back to restoring
+    params/batch_stats/step and keep the freshly-initialized opt_state:
+    evaluation and fine-tune warm starts keep working from old checkpoints,
+    and a resumed run restarts its Adam moments (reference load_checkpoint
+    has the same weak spot — torch load_state_dict on a changed optimizer
+    raises; train_utils.py:78-93)."""
     with open(path, "rb") as f:
         payload = f.read()
     template = checkpoint_state(state, 0)
     raw = migrate_pregroup_params(flax.serialization.msgpack_restore(payload))
-    restored = flax.serialization.from_state_dict(template, raw)
+    try:
+        restored = flax.serialization.from_state_dict(template, raw)
+        opt_state = restored["opt_state"]
+    except ValueError:
+        template_no_opt = {k: v for k, v in template.items()
+                           if k != "opt_state"}
+        raw_no_opt = {k: v for k, v in raw.items() if k != "opt_state"}
+        restored = flax.serialization.from_state_dict(template_no_opt,
+                                                      raw_no_opt)
+        opt_state = state.opt_state
+        warnings.warn(
+            f"{path}: optimizer-state structure does not match the current "
+            "optimizer; restored params/batch_stats/step and re-initialized "
+            "the optimizer state")
     state = state.replace(
         step=jnp.asarray(restored["step"]),
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
+        opt_state=opt_state,
     )
     return state, int(restored["epoch"])
 
