@@ -206,10 +206,18 @@ def main():
     # production serving loop would — the device queue stays full) and sync
     # once at the end; per-call sync would add ~50 ms of tunnel dispatch
     # latency to every batch
+    # TPU3D_BENCH_PROFILE=<dir>: capture a jax profiler trace of the
+    # pipelined loop (op table via tpu3d.tools.parse_xplane <dir>)
+    profile_dir = os.environ.get("TPU3D_BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     results = [infer(variables, pts) for _ in range(n_iters)]
     s = sum(float(r) for r in results)
     dt = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
     scenes_per_sec = batch * n_iters / dt
 
     line = {
