@@ -52,10 +52,12 @@ BATCH = 32
 def ref_mods():
     if not os.path.isdir(REF_TU):
         pytest.skip("reference repo not available")
-    if not hasattr(collections, "Iterable"):
+    added_iterable = not hasattr(collections, "Iterable")
+    if added_iterable:
         collections.Iterable = collections.abc.Iterable
     pkg = types.ModuleType("ref_tu")
     pkg.__path__ = [REF_TU]
+    names = ["ref_tu"]
     sys.modules["ref_tu"] = pkg
     mods = {}
     for name in ("fastai_optim", "learning_schedules_fastai", "train_utils"):
@@ -63,9 +65,14 @@ def ref_mods():
             f"ref_tu.{name}", os.path.join(REF_TU, f"{name}.py"))
         mod = importlib.util.module_from_spec(spec)
         sys.modules[f"ref_tu.{name}"] = mod
+        names.append(f"ref_tu.{name}")
         spec.loader.exec_module(mod)
         mods[name] = mod
-    return mods
+    yield mods
+    for n in names:
+        sys.modules.pop(n, None)
+    if added_iterable:
+        del collections.Iterable
 
 
 class _TorchNet(tnn.Module):
@@ -216,3 +223,62 @@ def ref_params_init(ref_mods):
     model = _TorchNet()
     return {k: v.detach().numpy().copy()
             for k, v in model.state_dict().items()}
+
+
+@pytest.mark.parametrize("opt_name", ["adam", "sgd"])
+def test_plain_optimizer_matches_torch(opt_name):
+    """The non-onecycle branches (reference create_optimizer
+    train_rcnn.py:98-102: plain torch Adam/SGD with L2-into-grad weight
+    decay, torch default betas) — a plain Dense regression, no BN, fixed
+    LR, vs torch.optim on identical init/batches."""
+    import torch.optim as optim
+
+    import optax  # noqa: F401  (built through make_optimizer)
+
+    from tpu3d.config import fresh_cfg
+
+    cfg = fresh_cfg()
+    cfg.TRAIN.OPTIMIZER = opt_name
+    cfg.TRAIN.LR = 0.01
+    cfg.TRAIN.WEIGHT_DECAY = 0.01
+    cfg.TRAIN.MOMENTUM = 0.9
+    cfg.TRAIN.GRAD_NORM_CLIP = 1e9  # isolate the optimizer (no clipping)
+    cfg.TRAIN.LR_WARMUP = False
+    cfg.TRAIN.DECAY_STEP_LIST = [10**6]
+
+    rng = np.random.default_rng(5)
+    w0 = rng.normal(scale=0.4, size=(IN_CH, 1)).astype(np.float32)
+    xs, ys = _make_data(seed=6)
+
+    t_w = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = (optim.Adam([t_w], lr=0.01, weight_decay=0.01)
+            if opt_name == "adam"
+            else optim.SGD([t_w], lr=0.01, weight_decay=0.01, momentum=0.9))
+    for it in range(N_STEPS):
+        topt.zero_grad()
+        loss = torch.mean((torch.from_numpy(xs[it]) @ t_w
+                           - torch.from_numpy(ys[it])) ** 2)
+        loss.backward()
+        topt.step()
+
+    from tpu3d.parallel.train_state import make_optimizer
+
+    params = {"w": jnp.asarray(w0)}
+    tx = make_optimizer(cfg, steps_per_epoch=TOTAL_STEPS, total_epochs=1)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            return jnp.mean((x @ p["w"] - y) ** 2)
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return jax.tree_util.tree_map(lambda p, u: p + u, params, updates), \
+            opt_state
+
+    for it in range(N_STEPS):
+        params, opt_state = step(params, opt_state, jnp.asarray(xs[it]),
+                                 jnp.asarray(ys[it]))
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               t_w.detach().numpy(), rtol=1e-5, atol=1e-6)

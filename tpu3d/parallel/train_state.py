@@ -105,19 +105,34 @@ def make_momentum_schedule(cfg, steps_per_epoch: int, total_epochs: int):
 
 
 def make_optimizer(cfg, steps_per_epoch: int, total_epochs: int,
-                   params) -> optax.GradientTransformation:
+                   params=None) -> optax.GradientTransformation:
+    """Mirrors the reference's create_optimizer (train_rcnn.py:96-116)
+    branch by branch. ``params`` is unused (kept for signature stability;
+    the old kernel-masked decay needed it — see _wd_mask)."""
     train = cfg.TRAIN
     lr = make_lr_schedule(cfg, steps_per_epoch, total_epochs)
-    mom = make_momentum_schedule(cfg, steps_per_epoch, total_epochs)
     wd = float(train.WEIGHT_DECAY)
-    # b2=0.99: the reference's Adam is built with betas=(0.9, 0.99)
-    # (train_rcnn.py:113 optimizer_func); b1 is the scheduled momentum.
-    # Decay is unmasked (reference bn_wd=True decays every group; see
-    # _wd_mask). Both pinned by the training-trajectory differential
-    # (tests/test_train_trajectory_reference_diff.py).
-    adam = optax.inject_hyperparams(optax.adamw)(
-        learning_rate=lr, b1=mom, b2=0.99, weight_decay=wd)
-    return optax.chain(optax.clip_by_global_norm(train.GRAD_NORM_CLIP), adam)
+    clip = optax.clip_by_global_norm(train.GRAD_NORM_CLIP)
+    if train.OPTIMIZER == "adam_onecycle":
+        # b2=0.99: the reference builds this Adam with betas=(0.9, 0.99)
+        # (train_rcnn.py:113 optimizer_func); b1 is the scheduled momentum.
+        # Decay is DECOUPLED (OptimWrapper true_wd p.mul_(1 - wd*lr)) and
+        # unmasked (bn_wd=True decays every group; see _wd_mask). All three
+        # pinned by the training-trajectory differential
+        # (tests/test_train_trajectory_reference_diff.py).
+        mom = make_momentum_schedule(cfg, steps_per_epoch, total_epochs)
+        adam = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, b1=mom, b2=0.99, weight_decay=wd)
+        return optax.chain(clip, adam)
+    # plain torch optimizers: weight decay is L2 folded INTO the gradient
+    # (not decoupled), applied after the grad-norm clip, torch default betas
+    l2 = [optax.add_decayed_weights(wd)] if wd > 0 else []
+    if train.OPTIMIZER == "sgd":
+        return optax.chain(clip, *l2,
+                           optax.sgd(lr, momentum=float(train.MOMENTUM)))
+    if train.OPTIMIZER == "adam":
+        return optax.chain(clip, *l2, optax.adam(lr))
+    raise NotImplementedError(f"TRAIN.OPTIMIZER={train.OPTIMIZER!r}")
 
 
 def create_train_state(cfg, model, sample_input, rng, steps_per_epoch: int,

@@ -150,7 +150,16 @@ def convert_state_dict(sd: dict, cfg) -> tuple[dict, dict, list[str]]:
                c.USE_BN, dp)
         m.head("rcnn_net.reg_layer", "rcnn_net/reg_head", len(c.REG_FC),
                c.USE_BN, dp)
-    return m.params, m.stats, m.missing
+    # every model tensor must have been consumed: unconsumed keys mean the
+    # cfg's layer layout disagrees with the checkpoint (e.g. a different
+    # CLS_FC depth would silently bind the wrong Sequential indices) —
+    # surface that as missing, symmetrically with absent expected keys
+    bn_bookkeeping = ("num_batches_tracked",)
+    unused = [k for k in m.sd
+              if k not in m.used
+              and not k.endswith(bn_bookkeeping)
+              and (k.startswith("rpn.") or k.startswith("rcnn_net."))]
+    return m.params, m.stats, m.missing + [f"UNCONSUMED:{k}" for k in unused]
 
 
 def convert_file(pth_path: str, out_path: str, cfg, epoch: int | None = None):
@@ -162,12 +171,13 @@ def convert_file(pth_path: str, out_path: str, cfg, epoch: int | None = None):
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     params, stats, missing = convert_state_dict(sd, cfg)
     if epoch is None:
-        epoch = int(blob.get("epoch", 0)) if isinstance(blob, dict) else 0
+        # the reference's checkpoint_state defaults epoch/it to None
+        # (train_utils.py:60-70) — treat None as 0
+        epoch = (blob.get("epoch") if isinstance(blob, dict) else None) or 0
+    it = (blob.get("it") if isinstance(blob, dict) else None) or 0
     payload = {
-        "epoch": np.int32(epoch),
-        "step": np.asarray(
-            blob.get("it", 0) if isinstance(blob, dict) else 0,
-            dtype=np.int32),
+        "epoch": np.int32(int(epoch)),
+        "step": np.asarray(int(it), dtype=np.int32),
         "params": params,
         "batch_stats": stats,
     }

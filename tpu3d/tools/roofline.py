@@ -13,9 +13,11 @@ step at default.yaml shapes):
 - **XLA-visible FLOPs / bytes** — the compiled executable's
   `cost_analysis()` (flops, bytes accessed). Pallas custom calls report
   zero flops there, so this is a cross-check for the XLA-scheduled part,
-  not the numerator; `bytes accessed` is XLA's HBM-traffic estimate for
-  the fused program (Pallas kernel operands/results are added analytically
-  below).
+  not the numerator. `bytes accessed` is XLA's HBM-traffic estimate for
+  the fused program; the Pallas kernels' own HBM traffic (operand/result
+  buffers only — their slabs live in VMEM by design) is O(1 GB/step) vs
+  the ~70 GB XLA total, so the HBM-utilization figure is a slight
+  (<2%) underestimate and is reported without correction.
 - **non-MXU analytic FLOPs** — the Pallas neighbor kernels (sequential FPS
   + 3NN ride-along, nearest-k sweeps) are VPU work: ~10 flops per
   (pick, point) for FPS and ~8 per (center, point) distance for nearest-k.
@@ -25,9 +27,9 @@ step at default.yaml shapes):
 MFU = analytic matmul FLOPs / measured step time / chip peak.
 Peak used: TPU v5e (v5 lite), 197 TFLOP/s bf16, 819 GB/s HBM.
 
-Usage (on the TPU host):
-    python -m tpu3d.tools.roofline                # measures times itself
-    python -m tpu3d.tools.roofline --eval-ms 70.6 --train-ms 241.1
+Usage (on the TPU host; times come from bench.py's output — eval ms =
+1000*batch/pipelined scenes_per_sec, train ms = train_step_ms):
+    python -m tpu3d.tools.roofline --eval-ms 70.3 --train-ms 240.4
 
 Reference envelope: BASELINE.md's throughput configuration; the reference
 repo has no perf accounting of its own (its number is the ~10 scenes/s
@@ -157,8 +159,8 @@ def program_flops(cfg, mode: str, batch: int) -> dict:
     return {
         "fwd_matmul_flops": fwd,
         "total_matmul_flops": fwd * mult,
-        "vpu_neighbor_flops": neighbor_vpu_flops(cfg, batch, rois) * (
-            1.0 if mode != "train" else 1.0),  # neighbor kernels have no bwd
+        # no train multiplier: the neighbor kernels have no backward pass
+        "vpu_neighbor_flops": neighbor_vpu_flops(cfg, batch, rois),
         "breakdown_fwd": {"rpn_sa": bb["sa"], "rpn_fp": bb["fp"],
                           "rpn_heads": bb["heads"], "rcnn_xyz_up": rc["xyz_up"],
                           "rcnn_sa": rc["sa"], "rcnn_heads": rc["heads"]},
@@ -249,10 +251,11 @@ def derived(name: str, step_ms: float, flops: dict, xla: dict) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg_file", default="configs/default.yaml")
-    ap.add_argument("--eval-ms", type=float, default=None,
-                    help="measured eval-batch ms (batch 8); measured here "
-                         "when omitted")
-    ap.add_argument("--train-ms", type=float, default=None)
+    ap.add_argument("--eval-ms", type=float, required=True,
+                    help="measured eval-batch ms from bench.py "
+                         "(1000*batch/pipelined scenes_per_sec)")
+    ap.add_argument("--train-ms", type=float, required=True,
+                    help="measured train_step_ms from bench.py")
     ap.add_argument("--eval-batch", type=int, default=8)
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--skip-xla", action="store_true",
@@ -285,15 +288,9 @@ def main(argv=None):
     xla_t = xla_cost_train(cfg, args.train_batch) if not args.skip_xla else {
         "xla_flops": 0.0, "xla_bytes_accessed": 0.0}
 
-    eval_ms, train_ms = args.eval_ms, args.train_ms
-    if eval_ms is None or train_ms is None:
-        raise SystemExit(
-            "pass --eval-ms/--train-ms (take them from bench.py's output: "
-            "eval ms = 1000*batch/scenes_per_sec pipelined, train ms = "
-            "train_step_ms)")
-
-    out.append(derived(f"eval_batch{args.eval_batch}", eval_ms, fl_e, xla_e))
-    out.append(derived(f"train_step_batch{args.train_batch}", train_ms,
+    out.append(derived(f"eval_batch{args.eval_batch}", args.eval_ms,
+                       fl_e, xla_e))
+    out.append(derived(f"train_step_batch{args.train_batch}", args.train_ms,
                        fl_t, xla_t))
     for row in out:
         print(json.dumps(row))
