@@ -621,6 +621,72 @@ def test_nearest_k_with_coords(rng):
     np.testing.assert_array_equal(np.asarray(xyzf), reff)
 
 
+def test_nearest_k_windowed_interpret(rng):
+    """The depth-windowed nearest-k kernel (interpret mode): every returned
+    finite-distance slot must be a true distance of the returned index
+    (proving the sorted-order index/row un-permutation is right), rows must
+    be nearest-first, and every oracle in-radius neighbor must either be
+    returned, shadowed by a nearer same-lane candidate (the documented mod-W
+    collision), or crowded out by k nearer returned candidates."""
+    from tpu3d.ops.grouping import (_nk_tiling, _round_up,
+                                    ball_query_from_nearest,
+                                    nearest_k_windowed)
+
+    B, M, N, K = 2, 256, 2048, 16
+    radius = 3.0
+    # KITTI-like extents: z (the window axis) is the long axis
+    p = np.stack([rng.uniform(-20, 20, size=(B, N)),
+                  rng.uniform(-1, 2, size=(B, N)),
+                  rng.uniform(0, 70, size=(B, N))], axis=-1).astype(np.float32)
+    c = np.stack([rng.uniform(-20, 20, size=(B, M)),
+                  rng.uniform(-1, 2, size=(B, M)),
+                  rng.uniform(0, 70, size=(B, M))], axis=-1).astype(np.float32)
+    d2, idx, xyz = nearest_k_windowed(jnp.asarray(c), jnp.asarray(p), K,
+                                      radius, interpret=True,
+                                      with_coords=True)
+    d2, idx, xyz = map(np.asarray, (d2, idx, xyz))
+
+    W, _, _ = _nk_tiling(M, _round_up(N, 128), K, True)
+    full = ((c[:, :, None, :] - p[:, None, :, :]) ** 2).sum(-1)
+    finite = np.isfinite(d2)
+    # returned distances/coords are the true ones for the returned indices
+    true_d2 = np.take_along_axis(full, idx, axis=2)
+    np.testing.assert_allclose(d2[finite], true_d2[finite], rtol=1e-6)
+    np.testing.assert_array_equal(
+        xyz[finite], np.stack([p[b][idx[b].reshape(-1)].reshape(M, K, 3)
+                               for b in range(B)])[finite])
+    # nearest-first among finite slots
+    padded = np.where(finite, d2, np.inf)
+    assert (np.diff(padded, axis=2) >= 0)[finite[:, :, 1:]].all()
+
+    missed = total = 0
+    for b in range(B):
+        lane = np.empty(N, np.int64)  # lane of each point in sorted order
+        lane[np.argsort(p[b, :, 2], kind="stable")] = np.arange(N) % W
+        for m in range(M):
+            hits = np.where(full[b, m] < radius * radius)[0]
+            total += len(hits)
+            got = set(idx[b, m][finite[b, m]])
+            for q in hits:
+                if q in got:
+                    continue
+                shadowed = any(lane[r] == lane[q]
+                               and full[b, m, r] <= full[b, m, q]
+                               for r in got)
+                crowded = (finite[b, m].all()
+                           and full[b, m, q] >= d2[b, m, -1])
+                assert shadowed or crowded, (b, m, q)
+                missed += not crowded  # pure lane collision
+    assert missed <= max(2, 0.02 * total), (missed, total)  # collisions rare
+
+    # the ball-query derivation returns only true in-radius neighbors
+    bq = np.asarray(ball_query_from_nearest(
+        jnp.asarray(d2), jnp.asarray(idx), radius, K, N))
+    row_hit = d2[..., 0] < radius * radius
+    picked_d2 = np.take_along_axis(full, bq, axis=2)
+    assert (picked_d2[row_hit] < radius * radius).all()
+
+
 def test_group_points_precise_matches_gather(rng):
     """The exact one-hot path (what precise=True routes to on TPU) must be
     bit-identical to the plain gather — it protects scene-frame pre-grouped

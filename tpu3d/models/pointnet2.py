@@ -255,15 +255,19 @@ class PointnetSAModuleMSG(nn.Module):
         cand_xyz = None
         if self.npoint is not None and len(self.radii) > 1:
             k_max = max(self.nsamples)
+            # every consumer radius-filters the candidates, so the depth-
+            # windowed kernel applies with the level's largest radius
+            r_max = float(max(self.radii))
             if features is None:
                 # candidate coordinates come straight out of the kernel's
                 # VMEM registers; each scale's grouped xyz is then a pure
                 # elementwise prefix/radius selection of the candidates
                 # (the per-scale 3-channel gathers were ~9 ms at SA_0)
                 *shared, cand_xyz = nearest_k(new_xyz, xyz, k_max,
-                                              with_coords=True)
+                                              with_coords=True,
+                                              max_radius=r_max)
             else:
-                shared = nearest_k(new_xyz, xyz, k_max)
+                shared = nearest_k(new_xyz, xyz, k_max, max_radius=r_max)
 
         scale_features = []
         for i, (radius, nsample, mlp) in enumerate(

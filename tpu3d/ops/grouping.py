@@ -35,9 +35,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _nk_tiling(M: int, NPAD: int, k: int, with_coords: bool,
+               windowed: bool = False):
+    """Shared tiling choice for the nearest-k kernel and its windowed
+    wrapper (which must know tile_m to build per-tile sweep windows)."""
+    # the k-pick epilogue costs k reduction passes over (tile_m, W): at
+    # k <= 32 a 256-lane candidate window halves that for a negligible rise
+    # in lane collisions (still ~8 candidate slots per pick)
+    w_pref = (256, 128) if (k <= 32 and NPAD >= 2048) else (512, 256, 128)
+    W = next(w for w in w_pref if NPAD % w == 0)
+    NB = NPAD // W
+    if windowed and M % 128 == 0:
+        # depth-windowed sweep: total sweep work ≈ tile_m·N + n_tiles·margin
+        # (each tile sweeps only its own z-window, and the windows tile the
+        # sorted point range), so SMALL center tiles win — the 4MB-budget
+        # tile that amortizes best for full sweeps would merge many windows
+        return W, NB, 128
+    # working set ~6 (9 with coords) live (tile_m, W) f32 arrays (+ Mosaic
+    # temps); measured fastest at the 4MB budget — bigger tiles were slower
+    n_live = 9 if with_coords else 6
+    tile_m = min(M, max(8, (4 * 1024 * 1024 // (n_live * W * 4)) // 128 * 128))
+    while M % tile_m != 0:  # largest divisor of M under the VMEM budget
+        tile_m -= 1
+    return W, NB, tile_m
+
+
 @partial(jax.jit, static_argnames=("k", "interpret", "with_coords"))
 def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
-                      interpret: bool = False, with_coords: bool = False):
+                      interpret: bool = False, with_coords: bool = False,
+                      win=None, oids=None):
     """(B, M, 3) × (B, N, 3) -> ((B, M, k) d2, (B, M, k) idx), nearest first.
 
     Fused Pallas kernel; the (TILE_M, N) distance matrix is never
@@ -56,6 +82,20 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
     replacement candidate is still the next-nearest in its lane — harmless for
     ball-query semantics, where which k in-radius points are returned is
     arbitrary (ball_query_gpu.cu takes the first k in memory order).
+
+    ``win`` (optional): per-(batch, center-tile) sweep windows as a pair of
+    (B, M // tile_m) int32 arrays (lo_block, hi_block) — the fori sweep runs
+    [lo, hi) instead of [0, NB). Used by ``nearest_k_windowed``, which sorts
+    points and centers by depth so each tile only sweeps the blocks that can
+    contain points within the query radius. Rows whose window excludes some
+    true nearest neighbors simply report inf distance for the missing slots
+    (the ball-query radius filter discards those anyway).
+
+    ``oids`` (optional, requires win): (B, N) int32 original ids of the
+    (sorted) points; the returned idx are then these ids instead of
+    positions — the ids ride the sweep carries like the coordinates do, so
+    the caller avoids a 1-element-granular (B, M·k) re-map gather (~9 ms at
+    the RPN SA_0 eval shape, slower than the whole kernel).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -63,25 +103,31 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
     B, M, _ = centers.shape
     N = pts.shape[1]
     NPAD = _round_up(N, 128)
-    # the k-pick epilogue costs k reduction passes over (tile_m, W): at
-    # k <= 32 a 256-lane candidate window halves that for a negligible rise
-    # in lane collisions (still ~8 candidate slots per pick)
-    w_pref = (256, 128) if (k <= 32 and NPAD >= 2048) else (512, 256, 128)
-    W = next(w for w in w_pref if NPAD % w == 0)
-    NB = NPAD // W
-    # working set ~6 (9 with coords) live (tile_m, W) f32 arrays (+ Mosaic
-    # temps); measured fastest at the 4MB budget — bigger tiles were slower
-    n_live = 9 if with_coords else 6
-    tile_m = min(M, max(8, (4 * 1024 * 1024 // (n_live * W * 4)) // 128 * 128))
-    while M % tile_m != 0:  # largest divisor of M under the VMEM budget
-        tile_m -= 1
+    W, NB, tile_m = _nk_tiling(M, NPAD, k, with_coords,
+                               windowed=win is not None)
     c_t = jnp.transpose(centers, (0, 2, 1))  # (B, 3, M)
     pts_t = jnp.transpose(pts, (0, 2, 1))  # (B, 3, N)
     if NPAD != N:  # pad far away so padded columns never win
         pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, NPAD - N)),
                         constant_values=1e9)
 
-    def kernel(c_ref, p_ref, *outs):
+    def kernel(*refs):
+        if win is not None:
+            # whole (B, n_tiles) window table lives in SMEM (TPU lowering
+            # requires SMEM blocks to equal the array dims); pick this
+            # grid cell's bounds by program id
+            lo_ref, hi_ref, c_ref, p_ref = refs[:4]
+            refs = refs[4:]
+            b_id, i_id = pl.program_id(0), pl.program_id(1)
+            lo_b, hi_b = lo_ref[b_id, i_id], hi_ref[b_id, i_id]
+        else:
+            c_ref, p_ref = refs[:2]
+            refs = refs[2:]
+            lo_b, hi_b = 0, NB
+        if oids is not None:
+            o_ref, outs = refs[0], refs[1:]
+        else:
+            o_ref, outs = None, refs
         d_out, i_out = outs[0], outs[1]
         # exact VPU distances: the u²+k²−2u·k MXU form loses ~|u||k|·eps_bf16
         # to cancellation (KITTI coords reach 70 m, d² thresholds are 0.01 m²)
@@ -100,7 +146,11 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
             px, py, pz = blocks(b)
             m = (ux - px) ** 2 + (uy - py) ** 2 + (uz - pz) ** 2
             upd = m < cand_d  # strict: ties keep the earlier (lower) block
-            out = (jnp.where(upd, m, cand_d), jnp.where(upd, b, cand_blk))
+            # the id carry holds the block number — or, with oids, the
+            # original point id directly (so no post-hoc re-map gather)
+            tag = (o_ref[0, 0, pl.ds(b * W, W)][None, :]
+                   if oids is not None else b)
+            out = (jnp.where(upd, m, cand_d), jnp.where(upd, tag, cand_blk))
             if with_coords:
                 cx, cy, cz = carry[2], carry[3], carry[4]
                 out += (jnp.where(upd, px, cx), jnp.where(upd, py, cy),
@@ -112,10 +162,10 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
                 jnp.zeros((tile_m, W), jnp.int32))
         if with_coords:
             init += (zf, zf, zf)
-        carry = jax.lax.fori_loop(0, NB, sweep, init)
+        carry = jax.lax.fori_loop(lo_b, hi_b, sweep, init)
         cand_d, cand_blk = carry[0], carry[1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, W), 1)
-        cand_i = cand_blk * W + lane
+        cand_i = cand_blk if oids is not None else cand_blk * W + lane
         out_rows = jax.lax.broadcasted_iota(jnp.int32, (k, tile_m), 0)
 
         def pick(s, cand_d):
@@ -140,38 +190,128 @@ def _nearest_k_pallas(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
     spec = pl.BlockSpec((1, k, tile_m), lambda b, i: (b, 0, i),
                         memory_space=pltpu.VMEM)
     dtypes = [jnp.float32, jnp.int32] + [jnp.float32] * (n_out - 2)
+    in_specs = [
+        pl.BlockSpec((1, 3, tile_m), lambda b, i: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, NPAD), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [c_t, pts_t]
+    if oids is not None:
+        if NPAD != N:  # padded slots keep id N (never a radius hit)
+            oids = jnp.pad(oids, ((0, 0), (0, NPAD - N)), constant_values=N)
+        # (B, 1, NPAD) so the block's trailing dims equal the array's
+        in_specs.append(pl.BlockSpec((1, 1, NPAD), lambda b, i: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(oids[:, None, :])
+    if win is not None:
+        n_tiles = M // tile_m
+        smem_spec = pl.BlockSpec((B, n_tiles), lambda b, i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        in_specs = [smem_spec, smem_spec] + in_specs
+        operands = [win[0], win[1]] + operands
     res = pl.pallas_call(
         kernel,
         grid=(B, M // tile_m),
-        in_specs=[
-            pl.BlockSpec((1, 3, tile_m), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, NPAD), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(spec for _ in range(n_out)),
         out_shape=tuple(jax.ShapeDtypeStruct((B, k, M), dt) for dt in dtypes),
         interpret=interpret,
-    )(c_t, pts_t)
+    )(*operands)
     out = tuple(jnp.transpose(r, (0, 2, 1)) for r in res)
     if with_coords:
         return out[0], out[1], jnp.stack(out[2:], axis=-1)  # (B, M, k, 3)
     return out[0], out[1]
 
 
+@partial(jax.jit, static_argnames=("k", "max_radius", "interpret",
+                                   "with_coords"))
+def nearest_k_windowed(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
+                       max_radius: float, interpret: bool = False,
+                       with_coords: bool = False):
+    """Radius-bounded nearest-k: same contract as ``nearest_k`` for every
+    neighbor within ``max_radius`` of its center; slots beyond the in-radius
+    neighbors may report inf distance instead of the true (out-of-radius)
+    next-nearest point. ONLY valid for callers that radius-filter the
+    result (``ball_query_from_nearest``).
+
+    The algorithmic win over the plain kernel: points and centers are sorted
+    by depth (axis 2 — the rect-frame forward axis, the scene's longest,
+    0..70.4 m under PC_AREA_SCOPE), so each center tile's candidate sweep
+    covers only the point blocks whose depth can fall within max_radius of
+    the tile — a per-tile [lo, hi) block window computed by searchsorted and
+    passed to the kernel through SMEM. At the RPN SA_0 shape (4096 centers ×
+    16384 points, r=0.5) a tile's window is a few % of the points instead of
+    all of them; the O(M·N) VPU distance sweep that was at roofline becomes
+    O(M·window). Replaces the brute sweep of ball_query_gpu.cu:9-44 with a
+    sort-based spatial index (the CUDA kernel has no analog — it brute-forces
+    N per query center).
+    """
+    B, M, _ = centers.shape
+    N = pts.shape[1]
+    NPAD = _round_up(N, 128)
+    W, NB, tile_m = _nk_tiling(M, NPAD, k, with_coords, windowed=True)
+    n_tiles = M // tile_m
+
+    # variadic co-sorts instead of argsort + row gathers (1-element-granular
+    # take_along_axis is latency-bound on TPU; one multi-payload sort is not)
+    z = pts[..., 2]
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    z_s, x_s, y_s, order = jax.lax.sort(
+        (z, pts[..., 0], pts[..., 1], iota), dimension=1, num_keys=1)
+    pts_s = jnp.stack([x_s, y_s, z_s], axis=-1)
+    cz = centers[..., 2]
+    ciota = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None], (B, M))
+    cz_s, cx_s, cy_s, corder = jax.lax.sort(
+        (cz, centers[..., 0], centers[..., 1], ciota), dimension=1,
+        num_keys=1)
+    centers_s = jnp.stack([cx_s, cy_s, cz_s], axis=-1)
+    cz_t = cz_s.reshape(B, n_tiles, tile_m)
+    lo_z = cz_t[:, :, 0] - max_radius  # rows sorted: first/last = min/max
+    hi_z = cz_t[:, :, -1] + max_radius
+    lo_i = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(
+        z_s, lo_z)
+    hi_i = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
+        z_s, hi_z)
+    win_lo = (lo_i // W).astype(jnp.int32)
+    win_hi = jnp.minimum(-(-hi_i // W), NB).astype(jnp.int32)
+
+    # the kernel returns original point ids directly (oids ride the sweep)
+    res = _nearest_k_pallas(centers_s, pts_s, k, interpret=interpret,
+                            with_coords=with_coords,
+                            win=(win_lo, win_hi), oids=order)
+    # kernel rows are in sorted-center order; map back
+    d2, idx = res[0], jnp.minimum(res[1], N - 1)
+    _, inv = jax.lax.sort((corder, ciota), dimension=1, num_keys=1)
+    d2 = jnp.take_along_axis(d2, inv[..., None], axis=1)
+    idx = jnp.take_along_axis(idx, inv[..., None], axis=1)
+    if with_coords:
+        coords = jnp.take_along_axis(res[2], inv[..., None, None], axis=1)
+        return d2, idx, coords
+    return d2, idx
+
+
 def nearest_k(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
-              with_coords: bool = False):
+              with_coords: bool = False, max_radius: float | None = None):
     """(B, M, 3) × (B, N, 3) -> ((B, M, k) squared dists, (B, M, k) idx
     [, (B, M, k, 3) coords]), nearest first. Dispatches to the fused Pallas
     kernel on TPU for large problems; otherwise one approx_min_k (exact on
     CPU). with_coords returns the picked points' coordinates straight from
     the kernel's VMEM registers — no 3-channel coordinate gather (which
-    costs ~6 ms at the RPN SA_0 shape)."""
+    costs ~6 ms at the RPN SA_0 shape).
+
+    ``max_radius``: callers that only consume neighbors within a radius
+    (ball query) may pass it to enable the depth-windowed kernel — slots
+    beyond the in-radius neighbors are then allowed to be inf/garbage (see
+    nearest_k_windowed)."""
     B, M, _ = centers.shape
     N = pts.shape[1]
     if (jax.default_backend() == "tpu" and M * N >= (1 << 20)
             and N % 128 == 0 and k <= 64
             and not env_flag("TPU3D_DISABLE_PALLAS")):
+        if max_radius is not None and not env_flag("TPU3D_DISABLE_WINDOWED"):
+            return nearest_k_windowed(centers, pts, k, float(max_radius),
+                                      with_coords=with_coords)
         return _nearest_k_pallas(centers, pts, k, with_coords=with_coords)
 
     # fallback: chunk the query dim so the distance tile stays bounded
@@ -285,7 +425,10 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
     if (method in ("auto", "nearest") and jax.default_backend() == "tpu"
             and M * N >= (1 << 20) and N % 128 == 0 and nsample <= 64
             and not env_flag("TPU3D_DISABLE_PALLAS")):
-        d2, idx = _nearest_k_pallas(centers, pts, nsample)
+        if not env_flag("TPU3D_DISABLE_WINDOWED"):
+            d2, idx = nearest_k_windowed(centers, pts, nsample, float(radius))
+        else:
+            d2, idx = _nearest_k_pallas(centers, pts, nsample)
         return ball_query_from_nearest(d2, idx, radius, nsample, N)
     if method == "auto":
         if (jax.default_backend() == "tpu"
@@ -334,17 +477,22 @@ def group_points(features: jnp.ndarray, idx: jnp.ndarray,
             return _group_points_onehot_exact(features, idx)
         if C >= 16 and (M * S) % 8 == 0:
             return _group_points_onehot(features, idx)
-    if (jax.default_backend() == "tpu" and not precise and C >= 16
-            and N > 2048):
+    if (jax.default_backend() == "tpu" and C >= 16 and N > 2048
+            and not (precise and env_flag("TPU3D_PRECISE_EXACT_BWD"))):
         # wide table (N > 2048): keep the plain gather forward (MXU one-hot
         # traffic loses above ~2k sources) but swap XLA's serialized
         # scatter-add VJP for a chunked one-hot MXU matmul — the grouping
         # transpose is a dense (N, M·S) operator with one nnz per column.
         # 11 ms/step of scatter at the RPN SA_1 training shapes
-        # (docs/TRAIN_PROFILE.md fusion.47/48). precise callers keep the
-        # exact XLA VJP (their grads feed cancelling subtractions). Small
-        # tables that fell through the block above ((M*S) % 8 != 0) keep the
-        # plain gather with its exact autodiff.
+        # (docs/TRAIN_PROFILE.md fusion.47/48). precise callers take this
+        # path too: their constraint is FORWARD cancellation (W@xyz[idx]−W@c
+        # before rounding) — the forward gather stays exact f32; only the
+        # backward's cotangent is bf16-rounded, the standard training
+        # precision everywhere else (convergence re-validated, TRAIN_PROFILE
+        # round-4 addendum). TPU3D_PRECISE_EXACT_BWD=1 restores the exact
+        # XLA scatter VJP for f32-parity hunts. Small tables that fell
+        # through the block above ((M*S) % 8 != 0) keep the plain gather
+        # with its exact autodiff.
         return _group_points_gather_mxu_vjp(features, idx)
     flat = idx.reshape(B, M * S)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
