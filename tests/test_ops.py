@@ -646,7 +646,9 @@ def test_nearest_k_windowed_interpret(rng):
                                       with_coords=True)
     d2, idx, xyz = map(np.asarray, (d2, idx, xyz))
 
-    W, _, _ = _nk_tiling(M, _round_up(N, 128), K, True)
+    # windowed=True so the oracle's lane width tracks the kernel's actual
+    # choice (including a TPU3D_NK_WIN_W override)
+    W, _, _ = _nk_tiling(M, _round_up(N, 128), K, True, windowed=True)
     full = ((c[:, :, None, :] - p[:, None, :, :]) ** 2).sum(-1)
     finite = np.isfinite(d2)
     # returned distances/coords are the true ones for the returned indices

@@ -16,3 +16,12 @@ _FALSY = {"", "0", "false", "no", "off"}
 
 def env_flag(name: str) -> bool:
     return os.environ.get(name, "").strip().lower() not in _FALSY
+
+
+def env_int(name: str) -> int | None:
+    """Integer-valued knob; unset/empty/non-numeric reads as None."""
+    raw = os.environ.get(name, "").strip()
+    try:
+        return int(raw)
+    except ValueError:
+        return None

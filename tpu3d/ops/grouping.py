@@ -19,7 +19,7 @@ fast path).
 from __future__ import annotations
 
 
-from .envflags import env_flag
+from .envflags import env_flag, env_int
 from functools import partial
 
 import jax
@@ -49,7 +49,14 @@ def _nk_tiling(M: int, NPAD: int, k: int, with_coords: bool,
         # depth-windowed sweep: total sweep work ≈ tile_m·N + n_tiles·margin
         # (each tile sweeps only its own z-window, and the windows tile the
         # sorted point range), so SMALL center tiles win — the 4MB-budget
-        # tile that amortizes best for full sweeps would merge many windows
+        # tile that amortizes best for full sweeps would merge many windows.
+        # With the sweep collapsed, the k-pick epilogue dominates; its cost
+        # is linear in W (A/B via TPU3D_NK_WIN_W; collisions stay rare
+        # because the windows keep candidate bands short).
+        w_env = env_int("TPU3D_NK_WIN_W")
+        if w_env and NPAD % w_env == 0:
+            W = w_env
+            NB = NPAD // W
         return W, NB, 128
     # working set ~6 (9 with coords) live (tile_m, W) f32 arrays (+ Mosaic
     # temps); measured fastest at the 4MB budget — bigger tiles were slower
