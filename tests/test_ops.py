@@ -761,3 +761,55 @@ def test_env_flag_falsy_values(monkeypatch):
         assert env_flag("TPU3D_BALLQ_NEAREST"), v
     monkeypatch.delenv("TPU3D_BALLQ_NEAREST")
     assert not env_flag("TPU3D_BALLQ_NEAREST")
+
+
+def test_group_points_routing_table():
+    """The pure routing decision behind group_points: the f32-parity gate
+    (exact=True) must never route to a bf16-rounded path — neither the small-
+    table bf16 one-hot forward nor the wide-table bf16 MXU backward — and the
+    TPU fast paths must only engage on the TPU backend."""
+    from tpu3d.ops.grouping import _gp_route
+
+    # CPU backend: always the plain gather regardless of flags
+    for precise in (False, True):
+        for exact in (False, True):
+            assert _gp_route("cpu", 512, 64, 8192, precise, exact) == "gather"
+
+    # TPU small table: bf16 one-hot only for wide channels, non-precise,
+    # non-exact, 8-aligned rows
+    assert _gp_route("tpu", 512, 64, 8192, False, False) == "onehot_bf16"
+    assert _gp_route("tpu", 512, 64, 8192, True, False) == "onehot_exact"
+    assert _gp_route("tpu", 512, 64, 8192, False, True) == "onehot_exact"
+    assert _gp_route("tpu", 512, 3, 8192, False, False) == "onehot_exact"
+    assert _gp_route("tpu", 512, 64, 8191, False, False) == "gather"
+
+    # TPU wide table: exact gather forward + bf16 MXU backward, EXCEPT under
+    # the f32-parity gate
+    assert _gp_route("tpu", 16384, 64, 8192, False, False) == "gather_mxu_bwd"
+    assert _gp_route("tpu", 16384, 64, 8192, True, False) == "gather_mxu_bwd"
+    assert _gp_route("tpu", 16384, 64, 8192, False, True) == "gather"
+    assert _gp_route("tpu", 16384, 64, 8192, True, True) == "gather"
+    # narrow channels never pay the one-hot movement FLOPs
+    assert _gp_route("tpu", 16384, 8, 8192, False, False) == "gather"
+
+
+def test_nk_win_w_knob_validation(monkeypatch):
+    """TPU3D_NK_WIN_W must only take effect for positive multiples of 128
+    that divide NPAD; negative, sub-tile, non-divisor, oversized, or
+    non-numeric values are ignored (they would produce negative block ids,
+    sub-lane tiles, or VMEM blowups)."""
+    from tpu3d.ops.grouping import _nk_tiling
+
+    M, NPAD, k = 256, 2048, 16
+    base_w, base_nb, tile_m = _nk_tiling(M, NPAD, k, True, windowed=True)
+    assert tile_m == 128
+    for bad in ("-256", "64", "100", "4096", "banana", ""):
+        monkeypatch.setenv("TPU3D_NK_WIN_W", bad)
+        w, nb, _ = _nk_tiling(M, NPAD, k, True, windowed=True)
+        assert (w, nb) == (base_w, base_nb), bad
+    monkeypatch.setenv("TPU3D_NK_WIN_W", "128")
+    w, nb, _ = _nk_tiling(M, NPAD, k, True, windowed=True)
+    assert (w, nb) == (128, 16)
+    monkeypatch.setenv("TPU3D_NK_WIN_W", "2048")
+    w, nb, _ = _nk_tiling(M, NPAD, k, True, windowed=True)
+    assert (w, nb) == (2048, 1)

@@ -269,6 +269,12 @@ class PointnetSAModuleMSG(nn.Module):
             else:
                 shared = nearest_k(new_xyz, xyz, k_max, max_radius=r_max)
 
+        # f32-parity gate for the plain-path gathers (the pregroup branch
+        # computes its own allow_bf16): BF16_ACTIVATIONS=False during
+        # training / TPU3D_F32_EVAL at eval forbid bf16 rounding in
+        # group_points' forward AND backward
+        exact_gp = not (self.train_bf16 if train
+                        else not env_flag("TPU3D_F32_EVAL"))
         scale_features = []
         for i, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
@@ -311,9 +317,10 @@ class PointnetSAModuleMSG(nn.Module):
                     # TPU3D_FORCE_FUSED_SA=1 enables the bf16 casts + fused
                     # slab kernel off-TPU (interpret mode; tests only).
                     force_fused = env_flag("TPU3D_FORCE_FUSED_SA")
+                    allow_bf16 = (self.train_bf16 if train
+                                  else not env_flag("TPU3D_F32_EVAL"))
                     bf16_ok = ((jax.default_backend() == "tpu" or force_fused)
-                               and (self.train_bf16 if train
-                                    else not env_flag("TPU3D_F32_EVAL")))
+                               and allow_bf16)
                     # fused Pallas slab path: canonical bf16 frames whose
                     # MLP the kernel supports — the grouped slab stays out
                     # of HBM after the layer-0 pre-activation
@@ -334,8 +341,12 @@ class PointnetSAModuleMSG(nn.Module):
                             # halves the (B, M, S, C) materialization
                             # traffic safely
                             pre = pre.astype(jnp.bfloat16)
+                        # exact=not allow_bf16: the f32-parity gate
+                        # (BF16_ACTIVATIONS=False / TPU3D_F32_EVAL) must also
+                        # forbid the bf16-rounded one-hot MXU backward
                         x = group_points(pre, idx,
-                                         precise=not self.canonical)
+                                         precise=not self.canonical,
+                                         exact=not allow_bf16)
                         if self.use_xyz:
                             # W_x@c (+ bias) via the same Dense on
                             # zero-padded features; the grouped term already
@@ -414,11 +425,12 @@ class PointnetSAModuleMSG(nn.Module):
                     grouped_xyz = (jnp.where(hit[..., None], c_xyz, first_xyz)
                                    - new_xyz[:, :, None, :])
                 else:
-                    grouped_xyz = (group_points(xyz, idx)
+                    grouped_xyz = (group_points(xyz, idx, exact=exact_gp)
                                    - new_xyz[:, :, None, :])
                 grouped = grouped_xyz
                 if features is not None:
-                    grouped_feats = group_points(features, idx)
+                    grouped_feats = group_points(features, idx,
+                                                 exact=exact_gp)
                     grouped = (jnp.concatenate([grouped_xyz, grouped_feats], -1)
                                if self.use_xyz else grouped_feats)
             else:

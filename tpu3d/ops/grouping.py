@@ -53,8 +53,13 @@ def _nk_tiling(M: int, NPAD: int, k: int, with_coords: bool,
         # With the sweep collapsed, the k-pick epilogue dominates; its cost
         # is linear in W (A/B via TPU3D_NK_WIN_W; collisions stay rare
         # because the windows keep candidate bands short).
+        # valid override: a positive multiple of 128 (TPU lane tile) that
+        # divides NPAD and fits it — anything else is ignored (negative or
+        # tiny values would produce negative block ids / sub-tile lanes;
+        # huge ones would blow the scoped-VMEM budget)
         w_env = env_int("TPU3D_NK_WIN_W")
-        if w_env and NPAD % w_env == 0:
+        if (w_env is not None and 128 <= w_env <= NPAD
+                and w_env % 128 == 0 and NPAD % w_env == 0):
             W = w_env
             NB = NPAD // W
         return W, NB, 128
@@ -463,9 +468,9 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
     return jax.vmap(per_batch)(centers, pts)
 
 
-@partial(jax.jit, static_argnames=("precise",))
+@partial(jax.jit, static_argnames=("precise", "exact"))
 def group_points(features: jnp.ndarray, idx: jnp.ndarray,
-                 precise: bool = False) -> jnp.ndarray:
+                 precise: bool = False, exact: bool = False) -> jnp.ndarray:
     """(B, N, C) features gathered by (B, M, nsample) -> (B, M, nsample, C).
 
     Replaces group_points_gpu.cu (+ its hand-written grad — both paths are
@@ -475,35 +480,54 @@ def group_points(features: jnp.ndarray, idx: jnp.ndarray,
     (the RPN's 16384 points) keep the plain gather. precise=True forbids the
     bf16 value rounding (f32 'highest' one-hot or plain gather) — needed when
     the gathered values feed a cancelling subtraction (pre-grouped scene-frame
-    pre-activations).
+    pre-activations). exact=True additionally forbids bf16 anywhere in the op
+    INCLUDING the backward (f32 'highest' one-hot or the plain gather's exact
+    scatter VJP) — the f32-parity mode the models wire to
+    cfg.TRAIN.BF16_ACTIVATIONS=False / TPU3D_F32_EVAL.
     """
     B, M, S = idx.shape
     N, C = features.shape[1], features.shape[-1]
-    if jax.default_backend() == "tpu" and N <= 2048:
-        if precise or C < 16:
-            return _group_points_onehot_exact(features, idx)
-        if C >= 16 and (M * S) % 8 == 0:
-            return _group_points_onehot(features, idx)
-    if (jax.default_backend() == "tpu" and C >= 16 and N > 2048
-            and not (precise and env_flag("TPU3D_PRECISE_EXACT_BWD"))):
-        # wide table (N > 2048): keep the plain gather forward (MXU one-hot
-        # traffic loses above ~2k sources) but swap XLA's serialized
-        # scatter-add VJP for a chunked one-hot MXU matmul — the grouping
-        # transpose is a dense (N, M·S) operator with one nnz per column.
-        # 11 ms/step of scatter at the RPN SA_1 training shapes
-        # (docs/TRAIN_PROFILE.md fusion.47/48). precise callers take this
-        # path too: their constraint is FORWARD cancellation (W@xyz[idx]−W@c
-        # before rounding) — the forward gather stays exact f32; only the
-        # backward's cotangent is bf16-rounded, the standard training
-        # precision everywhere else (convergence re-validated, TRAIN_PROFILE
-        # round-4 addendum). TPU3D_PRECISE_EXACT_BWD=1 restores the exact
-        # XLA scatter VJP for f32-parity hunts. Small tables that fell
-        # through the block above ((M*S) % 8 != 0) keep the plain gather
-        # with its exact autodiff.
+    route = _gp_route(jax.default_backend(), N, C, M * S, precise, exact)
+    if route == "onehot_exact":
+        return _group_points_onehot_exact(features, idx)
+    if route == "onehot_bf16":
+        return _group_points_onehot(features, idx)
+    if route == "gather_mxu_bwd":
         return _group_points_gather_mxu_vjp(features, idx)
     flat = idx.reshape(B, M * S)
     out = jnp.take_along_axis(features, flat[..., None], axis=1)
     return out.reshape(B, M, S, features.shape[-1])
+
+
+def _gp_route(backend: str, N: int, C: int, MS: int,
+              precise: bool, exact: bool) -> str:
+    """Pure routing decision for group_points (unit-tested directly since the
+    fast paths are TPU-only).
+
+    - 'onehot_exact': small table, f32 'highest' one-hot — exact forward AND
+      backward (precise/exact callers, and narrow tables where it also wins).
+    - 'onehot_bf16': small wide-channel table, bf16 one-hot MXU (fastest).
+    - 'gather_mxu_bwd': wide table (N > 2048), plain exact gather forward +
+      chunked one-hot bf16 MXU backward — replaces 11 ms/step of XLA
+      serialized scatter at the RPN SA_1 training shapes
+      (docs/TRAIN_PROFILE.md fusion.47/48). precise callers take this path
+      too: their constraint is FORWARD cancellation (W@xyz[idx]−W@c before
+      rounding); the cotangent is bf16-rounded like everywhere else in bf16
+      training. NOT taken when exact=True (the f32-parity gate:
+      cfg.TRAIN.BF16_ACTIVATIONS=False / TPU3D_F32_EVAL) or under
+      TPU3D_PRECISE_EXACT_BWD=1 for precise callers.
+    - 'gather': plain gather with XLA's exact autodiff.
+    """
+    if backend == "tpu" and N <= 2048:
+        if precise or exact or C < 16:
+            return "onehot_exact"
+        if C >= 16 and MS % 8 == 0:
+            return "onehot_bf16"
+    if (backend == "tpu" and C >= 16 and N > 2048
+            and not exact
+            and not (precise and env_flag("TPU3D_PRECISE_EXACT_BWD"))):
+        return "gather_mxu_bwd"
+    return "gather"
 
 
 def _gp_gather_impl(features, idx):
