@@ -10,18 +10,23 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-        # on a 1-core host the 8 virtual devices run serially; the default
-        # 40s CPU-collective rendezvous termination timeout kills full-shape
-        # DP steps (each device takes minutes to reach the grad all-reduce).
-        # The warn_stuck timeout must match terminate: this XLA build ABORTS
-        # the process at warn_stuck, not just warns (observed: full-shape DP
-        # step SIGABRTs at exactly ~600s once per-device time grew past ~85s)
+    flags += " --xla_force_host_platform_device_count=8"
+# on a 1-core host the 8 virtual devices run serially; the default 40s
+# CPU-collective rendezvous termination timeout kills full-shape DP steps
+# (each device takes minutes to reach the grad all-reduce). The warn_stuck
+# timeout must match terminate: this XLA build ABORTS the process at
+# warn_stuck, not just warns (observed: full-shape DP step SIGABRTs at
+# exactly ~600s once per-device time grew past ~85s). Appended even when the
+# caller pre-set the device count in XLA_FLAGS — an external
+# `XLA_FLAGS=--xla_force_host_platform_device_count=8 pytest` run must not
+# silently lose the timeout raise and abort mid-suite.
+if "collective" not in flags:
+    flags += (
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=7200"
         " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
         " --xla_cpu_collective_timeout_seconds=7200"
-    ).strip()
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 
