@@ -20,12 +20,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # caller pre-set the device count in XLA_FLAGS — an external
 # `XLA_FLAGS=--xla_force_host_platform_device_count=8 pytest` run must not
 # silently lose the timeout raise and abort mid-suite.
-if "collective" not in flags:
-    flags += (
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=7200"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
-        " --xla_cpu_collective_timeout_seconds=7200"
-    )
+for _flag in (
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds",
+    "--xla_cpu_collective_call_terminate_timeout_seconds",
+    "--xla_cpu_collective_timeout_seconds",
+):
+    # Checked per flag: a caller pre-setting one collective flag must not
+    # silently drop the other raises (warn_stuck ABORTS in this XLA build).
+    if _flag not in flags:
+        flags += f" {_flag}=7200"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax

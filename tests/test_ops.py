@@ -792,6 +792,19 @@ def test_group_points_routing_table():
     # narrow channels never pay the one-hot movement FLOPs
     assert _gp_route("tpu", 16384, 8, 8192, False, False) == "gather"
 
+    # explicit caller-side backward-precision choice: bf16_bwd=False keeps
+    # the exact scatter VJP for any non-exact wide-table caller; True
+    # consents to the MXU backward; None defers to the route default
+    assert _gp_route("tpu", 16384, 64, 8192, True, False,
+                     bf16_bwd=False) == "gather"
+    assert _gp_route("tpu", 16384, 64, 8192, False, False,
+                     bf16_bwd=False) == "gather"
+    assert _gp_route("tpu", 16384, 64, 8192, True, False,
+                     bf16_bwd=True) == "gather_mxu_bwd"
+    # exact always wins over an (inconsistent) bf16_bwd=True
+    assert _gp_route("tpu", 16384, 64, 8192, True, True,
+                     bf16_bwd=True) == "gather"
+
 
 def test_nk_win_w_knob_validation(monkeypatch):
     """TPU3D_NK_WIN_W must only take effect for positive multiples of 128
@@ -810,6 +823,11 @@ def test_nk_win_w_knob_validation(monkeypatch):
     monkeypatch.setenv("TPU3D_NK_WIN_W", "128")
     w, nb, _ = _nk_tiling(M, NPAD, k, True, windowed=True)
     assert (w, nb) == (128, 16)
+    # VMEM cap: with coords the kernel carries 9 live (128, W) f32 arrays,
+    # so W=2048 (9.4MB of carries) exceeds the 8MB budget and is ignored;
+    # without coords (6 carries, 6.3MB) the same W is accepted
     monkeypatch.setenv("TPU3D_NK_WIN_W", "2048")
     w, nb, _ = _nk_tiling(M, NPAD, k, True, windowed=True)
+    assert (w, nb) == (base_w, base_nb)
+    w, nb, _ = _nk_tiling(M, NPAD, k, False, windowed=True)
     assert (w, nb) == (2048, 1)

@@ -343,10 +343,15 @@ class PointnetSAModuleMSG(nn.Module):
                             pre = pre.astype(jnp.bfloat16)
                         # exact=not allow_bf16: the f32-parity gate
                         # (BF16_ACTIVATIONS=False / TPU3D_F32_EVAL) must also
-                        # forbid the bf16-rounded one-hot MXU backward
+                        # forbid the bf16-rounded one-hot MXU backward.
+                        # bf16_bwd=allow_bf16 states the cotangent-precision
+                        # consent explicitly at this (precise) call site —
+                        # bf16 training accepts the MXU backward's bf16
+                        # rounding; f32 mode keeps the exact VJP.
                         x = group_points(pre, idx,
                                          precise=not self.canonical,
-                                         exact=not allow_bf16)
+                                         exact=not allow_bf16,
+                                         bf16_bwd=allow_bf16)
                         if self.use_xyz:
                             # W_x@c (+ bias) via the same Dense on
                             # zero-padded features; the grouped term already

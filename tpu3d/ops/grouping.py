@@ -54,11 +54,15 @@ def _nk_tiling(M: int, NPAD: int, k: int, with_coords: bool,
         # is linear in W (A/B via TPU3D_NK_WIN_W; collisions stay rare
         # because the windows keep candidate bands short).
         # valid override: a positive multiple of 128 (TPU lane tile) that
-        # divides NPAD and fits it — anything else is ignored (negative or
-        # tiny values would produce negative block ids / sub-tile lanes;
-        # huge ones would blow the scoped-VMEM budget)
+        # divides NPAD, fits it, AND keeps the kernel's live carries (up to
+        # 9 (128, W) f32 arrays with coords, plus Mosaic temps) inside an
+        # 8MB slice of the 16MB scoped-VMEM budget — anything else is
+        # ignored (negative or tiny values would produce negative block ids
+        # / sub-tile lanes; huge ones would Mosaic-fail at compile)
         w_env = env_int("TPU3D_NK_WIN_W")
-        if (w_env is not None and 128 <= w_env <= NPAD
+        n_live = 9 if with_coords else 6
+        w_vmem_max = (8 * 1024 * 1024) // (n_live * 128 * 4)
+        if (w_env is not None and 128 <= w_env <= min(NPAD, w_vmem_max)
                 and w_env % 128 == 0 and NPAD % w_env == 0):
             W = w_env
             NB = NPAD // W
@@ -292,8 +296,13 @@ def nearest_k_windowed(centers: jnp.ndarray, pts: jnp.ndarray, k: int,
     res = _nearest_k_pallas(centers_s, pts_s, k, interpret=interpret,
                             with_coords=with_coords,
                             win=(win_lo, win_hi), oids=order)
-    # kernel rows are in sorted-center order; map back
-    d2, idx = res[0], jnp.minimum(res[1], N - 1)
+    # kernel rows are in sorted-center order; map back. Padded-slot sentinel
+    # ids (>= N) are clamped for gather safety, but their distance is forced
+    # to inf so consumers that mask on d2 (isfinite, radius) reject them —
+    # the clamp alone would defeat `idx < n_pts` guards while the pad
+    # coordinate's ~3e18 d2 is finite.
+    d2 = jnp.where(res[1] >= N, jnp.inf, res[0])
+    idx = jnp.minimum(res[1], N - 1)
     _, inv = jax.lax.sort((corder, ciota), dimension=1, num_keys=1)
     d2 = jnp.take_along_axis(d2, inv[..., None], axis=1)
     idx = jnp.take_along_axis(idx, inv[..., None], axis=1)
@@ -468,9 +477,10 @@ def ball_query(centers: jnp.ndarray, pts: jnp.ndarray, radius: float,
     return jax.vmap(per_batch)(centers, pts)
 
 
-@partial(jax.jit, static_argnames=("precise", "exact"))
+@partial(jax.jit, static_argnames=("precise", "exact", "bf16_bwd"))
 def group_points(features: jnp.ndarray, idx: jnp.ndarray,
-                 precise: bool = False, exact: bool = False) -> jnp.ndarray:
+                 precise: bool = False, exact: bool = False,
+                 bf16_bwd: bool | None = None) -> jnp.ndarray:
     """(B, N, C) features gathered by (B, M, nsample) -> (B, M, nsample, C).
 
     Replaces group_points_gpu.cu (+ its hand-written grad — both paths are
@@ -484,10 +494,17 @@ def group_points(features: jnp.ndarray, idx: jnp.ndarray,
     INCLUDING the backward (f32 'highest' one-hot or the plain gather's exact
     scatter VJP) — the f32-parity mode the models wire to
     cfg.TRAIN.BF16_ACTIVATIONS=False / TPU3D_F32_EVAL.
+
+    bf16_bwd makes the backward-precision choice for precise wide-table
+    callers explicit at the call site: True consents to the bf16-rounded
+    one-hot MXU backward (standard bf16-training cotangent precision), False
+    keeps XLA's exact scatter VJP, None (default) defers to the route's
+    default (MXU backward unless TPU3D_PRECISE_EXACT_BWD=1).
     """
     B, M, S = idx.shape
     N, C = features.shape[1], features.shape[-1]
-    route = _gp_route(jax.default_backend(), N, C, M * S, precise, exact)
+    route = _gp_route(jax.default_backend(), N, C, M * S, precise, exact,
+                      bf16_bwd)
     if route == "onehot_exact":
         return _group_points_onehot_exact(features, idx)
     if route == "onehot_bf16":
@@ -500,7 +517,8 @@ def group_points(features: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _gp_route(backend: str, N: int, C: int, MS: int,
-              precise: bool, exact: bool) -> str:
+              precise: bool, exact: bool,
+              bf16_bwd: bool | None = None) -> str:
     """Pure routing decision for group_points (unit-tested directly since the
     fast paths are TPU-only).
 
@@ -514,8 +532,9 @@ def _gp_route(backend: str, N: int, C: int, MS: int,
       too: their constraint is FORWARD cancellation (W@xyz[idx]−W@c before
       rounding); the cotangent is bf16-rounded like everywhere else in bf16
       training. NOT taken when exact=True (the f32-parity gate:
-      cfg.TRAIN.BF16_ACTIVATIONS=False / TPU3D_F32_EVAL) or under
-      TPU3D_PRECISE_EXACT_BWD=1 for precise callers.
+      cfg.TRAIN.BF16_ACTIVATIONS=False / TPU3D_F32_EVAL), when the caller
+      passes bf16_bwd=False, or — for precise callers that left bf16_bwd
+      unset — under TPU3D_PRECISE_EXACT_BWD=1.
     - 'gather': plain gather with XLA's exact autodiff.
     """
     if backend == "tpu" and N <= 2048:
@@ -523,9 +542,9 @@ def _gp_route(backend: str, N: int, C: int, MS: int,
             return "onehot_exact"
         if C >= 16 and MS % 8 == 0:
             return "onehot_bf16"
-    if (backend == "tpu" and C >= 16 and N > 2048
-            and not exact
-            and not (precise and env_flag("TPU3D_PRECISE_EXACT_BWD"))):
+    if bf16_bwd is None:
+        bf16_bwd = not (precise and env_flag("TPU3D_PRECISE_EXACT_BWD"))
+    if backend == "tpu" and C >= 16 and N > 2048 and not exact and bf16_bwd:
         return "gather_mxu_bwd"
     return "gather"
 
