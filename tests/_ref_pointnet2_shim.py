@@ -52,7 +52,8 @@ def grouping_operation(features: torch.Tensor, idx: torch.Tensor):
 
 def three_nn(unknown: torch.Tensor, known: torch.Tensor):
     d, i = three_nn_numpy(unknown.detach().numpy(), known.detach().numpy())
-    return (torch.from_numpy(d.astype(np.float32)),
+    # keep the caller's float width (f64 gradient differentials)
+    return (torch.from_numpy(d.astype(unknown.detach().numpy().dtype)),
             torch.from_numpy(i).int())
 
 

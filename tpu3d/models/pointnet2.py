@@ -100,7 +100,8 @@ class BatchNorm(nn.Module):
             add = (bias - ra_mean.value * inv * scale).astype(x.dtype)
             return x * mul + add
         axes = tuple(range(x.ndim - 1))
-        xf = x.astype(jnp.float32)
+        # promote (not force-f32): bf16 stats go f32; f64 parity runs stay f64
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(xf, axis=axes)
         var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
         if not self.is_initializing():
@@ -251,9 +252,17 @@ class PointnetSAModuleMSG(nn.Module):
         # ordering means each scale's ball query is a prefix + radius filter
         # of the K = max(nsample) candidate list (K-NN computed once via the
         # fused Pallas kernel on TPU; reference runs ball_query per radius)
+        # TPU3D_REF_BALL_QUERY=1: reproduce the CUDA ball query's slab
+        # MULTISET exactly (first-nsample hits in index order, pad = first
+        # hit) instead of the shared nearest-k candidates. The pick SETS
+        # coincide at production densities and max-pool is order-invariant,
+        # but train-mode BN batch statistics see the pad-slot multiplicities
+        # — the reference-gradient differentials
+        # (test_full_model_grad_reference_diff.py) need bit-equal slabs.
+        ref_bq = env_flag("TPU3D_REF_BALL_QUERY")
         shared = None
         cand_xyz = None
-        if self.npoint is not None and len(self.radii) > 1:
+        if self.npoint is not None and len(self.radii) > 1 and not ref_bq:
             k_max = max(self.nsamples)
             # every consumer radius-filters the candidates, so the depth-
             # windowed kernel applies with the level's largest radius
@@ -287,7 +296,8 @@ class PointnetSAModuleMSG(nn.Module):
                     if chunk is not None and self.npoint % chunk != 0:
                         chunk = None
                     idx = ball_query(new_xyz, xyz, radius, nsample,
-                                     query_chunk=chunk)
+                                     query_chunk=chunk,
+                                     method="first" if ref_bq else "auto")
                 pregroup = (self.force_pregroup
                             if self.force_pregroup is not None
                             else self.npoint * nsample > xyz.shape[1])
@@ -566,4 +576,5 @@ class Pointnet2MSG(nn.Module):
                     train=train, bn_momentum=bn_momentum,
                     cached_nn=cached_nn[i] if i < len(cached_nn) else None)
 
-        return l_xyz[0], l_features[0].astype(jnp.float32)
+        return l_xyz[0], l_features[0].astype(
+            jnp.promote_types(l_features[0].dtype, jnp.float32))

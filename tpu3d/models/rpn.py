@@ -48,10 +48,11 @@ class HeadMLP(nn.Module):
         kernel_init = (nn.initializers.normal(self.out_kernel_std)
                        if self.out_kernel_std is not None
                        else nn.initializers.he_normal())
-        return nn.Dense(self.out_channels, kernel_init=kernel_init,
-                        bias_init=nn.initializers.constant(self.out_bias_init),
-                        dtype=self.dtype,
-                        name="out")(x).astype(jnp.float32)
+        out = nn.Dense(self.out_channels, kernel_init=kernel_init,
+                       bias_init=nn.initializers.constant(self.out_bias_init),
+                       dtype=self.dtype, name="out")(x)
+        # promote (not force-f32): bf16 heads emit f32; f64 parity stays f64
+        return out.astype(jnp.promote_types(out.dtype, jnp.float32))
 
 
 class RPN(nn.Module):

@@ -37,8 +37,10 @@ import numpy as np
 
 def _conv_kernel(t) -> np.ndarray:
     """torch conv weight (out, in) / (out, in, 1) / (out, in, 1, 1) ->
-    Dense kernel (in, out)."""
-    a = np.asarray(t, dtype=np.float32)
+    Dense kernel (in, out). Dtype-preserving: production checkpoints are
+    f32; the float64 gradient differentials convert f64 tensors and rely
+    on no rounding happening here."""
+    a = np.asarray(t)
     return a.reshape(a.shape[0], a.shape[1]).T
 
 
@@ -72,8 +74,7 @@ class _Mapper:
         if bias:
             b = self.take(f"{tkey}.conv.bias")
             if b is not None:
-                _put(self.params, f"{our}/bias",
-                     np.asarray(b, np.float32))
+                _put(self.params, f"{our}/bias", np.asarray(b))
 
     def bn(self, tkey: str, our: str):
         for tname, oname, dest in (
@@ -83,7 +84,7 @@ class _Mapper:
                 ("running_var", "var", self.stats)):
             v = self.take(f"{tkey}.bn.bn.{tname}")
             if v is not None:
-                _put(dest, f"{our}/{oname}", np.asarray(v, np.float32))
+                _put(dest, f"{our}/{oname}", np.asarray(v))
 
     def shared_mlp(self, tprefix: str, oprefix: str, n_layers: int,
                    use_bn: bool):
