@@ -161,7 +161,7 @@ def test_dp_full_eval_path(rng):
 
     _sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from __graft_entry__ import _tiny_cfg
+    from __graft_entry__ import _tiny_cfg, detection_surgery, plant_clusters
 
     from tpu3d.tools.eval_rcnn import (THRESH_LIST, _recall_counts,
                                        make_infer_step)
@@ -169,13 +169,26 @@ def test_dp_full_eval_path(rng):
     c = _tiny_cfg(rcnn=True, points=4096)
     model = PointRCNN(cfg=c, mode="TEST")
     B = 8
-    pts = _pts(rng, B, c.RPN.NUM_POINTS)
+    # roomy gt volumes + planted clusters + cls-bias surgery: the parity
+    # check below must compare NON-EMPTY final buffers (VERDICT r4 weak #1 —
+    # with init weights nothing clears the score threshold and the
+    # mask/score comparisons match empty buffers trivially)
+    gt = np.zeros((B, 4, 7), np.float32)
+    for j, (gx, gz, gry) in enumerate(
+            [(0, 20, 0.3), (-5, 35, -1.0), (10, 50, 0.8), (-15, 15, 0.0)]):
+        gt[:, j] = [gx, 2.0, gz, 3.0, 2.5, 5.0, gry]
+    pts = plant_clusters(_pts(rng, B, c.RPN.NUM_POINTS), gt,
+                         np.random.default_rng(3))
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         {"pts_input": pts[:1]})
+    variables = dict(variables, params=detection_surgery(variables["params"]))
     infer = jax.jit(make_infer_step(model, c))
 
     ref = jax.device_get(infer(variables, pts[:2]))
+    assert ref["final_mask"].any(), (
+        "single-device eval produced ZERO detections — the parity check "
+        "below would be vacuous")
 
     mesh = make_mesh()
     v_repl = replicate(mesh, variables)
@@ -183,19 +196,27 @@ def test_dp_full_eval_path(rng):
     out = jax.device_get(infer(v_repl, p_shard))
 
     # sharded scenes 0/1 must match the single-device run bit-for-bit at the
-    # host-decode surface (the final fixed-size box buffers)
+    # host-decode surface (the final fixed-size box buffers) — and the
+    # buffers compared are NON-EMPTY (asserted above + here)
+    assert out["final_mask"][:2].any()
     np.testing.assert_allclose(out["final_boxes"][:2], ref["final_boxes"],
                                atol=1e-4)
     np.testing.assert_array_equal(out["final_mask"][:2], ref["final_mask"])
     np.testing.assert_allclose(out["final_scores"][:2], ref["final_scores"],
                                atol=1e-4)
 
-    # host-decode leg: recall counting on the decoded numpy boxes runs clean
-    gt = np.asarray([[0, 1.6, 20, 1.5, 1.6, 3.9, 0.3]], np.float32)
+    # host-decode leg: recall counting on real decoded boxes, with at least
+    # one genuine IoU-0.1 hit across the sharded scenes
+    n_det, rec_total = 0, np.zeros(len(THRESH_LIST), np.int64)
     for k in range(B):
         boxes = out["final_boxes"][k][out["final_mask"][k]]
-        rec, n_gt = _recall_counts(boxes, gt)
-        assert n_gt == 1 and rec.shape == (len(THRESH_LIST),)
+        rec, n_gt = _recall_counts(boxes, gt[k])
+        assert n_gt == 4 and rec.shape == (len(THRESH_LIST),)
+        n_det += len(boxes)
+        rec_total += rec
+    assert n_det > 0
+    assert rec_total[0] > 0, (
+        f"no recall hit at IoU 0.1 across {B} scenes ({n_det} detections)")
 
 
 @pytest.mark.slow
