@@ -125,6 +125,88 @@ def bench_train():
     return step_ms, scenes_per_sec
 
 
+def bench_train_e2e(n_steps: int = 100):
+    """END-TO-END training throughput: the real process-worker BatchLoader
+    (get_rpn_sample per scene on host cores) feeding jitted train steps,
+    overlapped — the number the device-step figure must survive (the
+    reference's baseline implicitly includes its DataLoader,
+    tools/train_utils/train_utils.py:170-240). Returns
+    (wall_ms_per_step, scenes_per_sec, n_steps)."""
+    import sys
+
+    import jax
+
+    from tpu3d.config import cfg_from_file, fresh_cfg
+    from tpu3d.datasets import (BatchLoader, KittiRCNNDataset,
+                                create_synthetic_kitti)
+    from tpu3d.models import PointRCNN
+    from tpu3d.parallel import create_train_state, make_train_step
+
+    cfg = fresh_cfg()
+    cfg_from_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "configs", "default.yaml"), target=cfg)
+    cfg.RPN.ENABLED = cfg.RCNN.ENABLED = True
+    cfg.RPN.FIXED = False
+    cfg.GT_AUG_ENABLED = False
+    cfg.RPN.USE_INTENSITY = False
+
+    batch_size = int(os.environ.get("TPU3D_BENCH_TRAIN_BATCH", 16))
+    n_workers = int(os.environ.get("TPU3D_BENCH_LOADER_WORKERS", 6))
+    data_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "output", "bench_synth_e2e")
+    n_frames = 2 * max(8 * batch_size, 128)  # train split gets half
+    if not os.path.exists(os.path.join(data_root, "KITTI")):
+        create_synthetic_kitti(data_root, n_frames=n_frames, image_files=True)
+    dataset = KittiRCNNDataset(
+        root_dir=data_root, npoints=cfg.RPN.NUM_POINTS, split="train",
+        mode="TRAIN", classes=cfg.CLASSES, cfg=cfg, seed=0)
+    # process workers MUST fork before the JAX/TPU client exists in them:
+    # BatchLoader forks at construction from this (main) thread
+    loader = BatchLoader(dataset, batch_size, shuffle=True,
+                         num_workers=n_workers, drop_last=True, seed=0,
+                         prefetch=4, worker_mode="process")
+
+    keys = ("pts_input", "gt_boxes3d", "rpn_cls_label", "rpn_reg_label")
+    first = next(iter(loader))
+    model = PointRCNN(cfg=cfg, mode="TRAIN")
+    state = create_train_state(
+        cfg, model,
+        {"pts_input": first["pts_input"], "gt_boxes3d": first["gt_boxes3d"]},
+        jax.random.PRNGKey(0), steps_per_epoch=100, total_epochs=200)
+    train_step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+    step_rng = jax.random.PRNGKey(1)
+
+    print("e2e train bench: compiling...", file=sys.stderr, flush=True)
+    state, metrics = train_step(
+        state, {k: first[k] for k in keys}, step_rng, 0.9)
+    float(metrics["loss"])
+
+    # overlapped steady state: the loader prefetches on host processes while
+    # the device executes the previous step (dispatch is async; the one sync
+    # is the final loss pull)
+    done = 0
+    t0 = time.time()
+    epoch = 0
+    while done < n_steps:
+        epoch += 1
+        loader.set_epoch(epoch)
+        for batch in loader:
+            state, metrics = train_step(
+                state, {k: batch[k] for k in keys}, step_rng, 0.9)
+            done += 1
+            if done >= n_steps:
+                break
+    float(metrics["loss"])
+    dt = time.time() - t0
+    loader.close()
+    wall_ms = dt / done * 1000.0
+    sps = batch_size * done / dt
+    print(f"e2e train: {wall_ms:.1f} ms/step wall (batch {batch_size}, "
+          f"{n_workers} loader workers, {done} steps), {sps:.1f} scenes/s",
+          file=sys.stderr, flush=True)
+    return wall_ms, sps, done
+
+
 def main():
     _enable_compilation_cache()
     import jax
@@ -237,8 +319,34 @@ def main():
 
             traceback.print_exc(file=sys.stderr)
             line["train_bench_error"] = str(e)[:200]
+    if not os.environ.get("TPU3D_BENCH_SKIP_E2E"):
+        # end-to-end leg runs in a FRESH interpreter: the loader's process
+        # pool must fork before any JAX/TPU client exists (forking after
+        # would inherit live tunnel threads/locks into the workers)
+        import subprocess
+        import sys
+
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--e2e-train"],
+                capture_output=True, text=True, timeout=1800)
+            print(r.stderr, file=sys.stderr, flush=True)
+            e2e = json.loads(r.stdout.strip().splitlines()[-1])
+            line["train_e2e_wall_ms_per_step"] = e2e["wall_ms_per_step"]
+            line["train_e2e_scenes_per_sec"] = e2e["scenes_per_sec"]
+        except Exception as e:
+            line["train_e2e_error"] = str(e)[:200]
     print(json.dumps(line))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--e2e-train" in sys.argv:
+        _enable_compilation_cache()
+        wall_ms, sps, n = bench_train_e2e()
+        print(json.dumps({"metric": "pointrcnn_train_e2e",
+                          "wall_ms_per_step": round(wall_ms, 2),
+                          "scenes_per_sec": round(sps, 2), "steps": n}))
+    else:
+        main()

@@ -24,7 +24,6 @@ from ..ops import (
     gather_points,
     group_points,
     interpolation_weights,
-    nn_dist_from_idx,
     three_interpolate,
     three_nn,
 )
@@ -487,17 +486,22 @@ class PointnetFPModule(nn.Module):
         if known is not None:
             if cached_nn is not None:
                 d2c, idx = cached_nn
-                # training recomputes picked distances differentiably (the
-                # kernel's d2 has no grad), eval takes them as-is — exactly
-                # three_nn's differentiable/non-differentiable split
-                dist = (nn_dist_from_idx(unknown, known, idx) if train
-                        else jnp.sqrt(jnp.maximum(d2c, 0.0)))
+                dist = jnp.sqrt(jnp.maximum(d2c, 0.0))
             else:
-                # eval skips the differentiable distance recompute (a 400k-row
-                # coordinate gather at FP_0); the CUDA op has no dist grad
-                # either
-                dist, idx = three_nn(unknown, known, differentiable=train)
-            weight = interpolation_weights(dist)
+                dist, idx = three_nn(unknown, known, differentiable=False)
+            # Interpolation weights are CONSTANTS under autodiff, matching
+            # the reference exactly: its three_nn Function has no backward
+            # and three_interpolate_grad propagates to features only
+            # (interpolate_gpu.cu:120-160) — and mathematically the weights
+            # are pure functions of coordinates, which never depend on
+            # parameters, so their param-gradient contribution is
+            # identically zero (pinned at 2.5e-12 by
+            # test_full_model_grad_reference_diff). stop_gradient also
+            # deletes the train-path differentiable distance recompute that
+            # cost ~8 ms/step at FP_0 (a 786k-row coordinate gather + a
+            # (B, 49152, 3) minor-dim-3 layout copy + row reduce) and lets
+            # XLA DCE the custom VJPs' d_weight computation.
+            weight = jax.lax.stop_gradient(interpolation_weights(dist))
             if (jax.default_backend() == "tpu"
                     and (self.train_bf16 if train
                          else not env_flag("TPU3D_F32_EVAL"))

@@ -279,11 +279,32 @@ def proposal_target_layer(key, roi_boxes3d, roi_valid, gt_boxes3d, rpn_xyz,
         per_image)(batch_keys, roi_boxes3d, roi_valid, gt_boxes3d)
 
     # pool points per sampled ROI
-    pooled, empty_flag = roipool3d(
-        rpn_xyz, pts_feature, batch_rois, float(rcnn_cfg.POOL_EXTRA_WIDTH),
-        int(rcnn_cfg.NUM_POINTS))
-    sampled_pts = pooled[..., 0:3]
-    sampled_feats = pooled[..., 3:]
+    if (jax.default_backend() == "tpu"
+            and bool(cfg.TRAIN.get("BF16_ACTIVATIONS", True))):
+        # ONE bf16 row gather for the whole pooled block, identical to the
+        # eval path (point_rcnn.py): features cast to bf16 (the training
+        # bf16-activation policy) and the f32 coordinates ride along as a
+        # bf16 hi/lo pair summed back after the gather (~1e-3 m absolute,
+        # tighter than the downstream activation rounding). Replaces the
+        # separate f32[524288,3] xyz + bf16[524288,130] feature gathers
+        # (12.5 ms/step in the round-5 train trace; random-row reads run
+        # ~30x under HBM bandwidth, so fewer/wider rows win).
+        hi = rpn_xyz.astype(jnp.bfloat16)
+        lo = (rpn_xyz - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        table = jnp.concatenate(
+            [hi, lo, pts_feature.astype(jnp.bfloat16)], -1)
+        _, pooled, empty_flag = roipool3d(
+            rpn_xyz, table, batch_rois, float(rcnn_cfg.POOL_EXTRA_WIDTH),
+            int(rcnn_cfg.NUM_POINTS), split="features")
+        sampled_pts = (pooled[..., 0:3].astype(jnp.float32)
+                       + pooled[..., 3:6].astype(jnp.float32))
+        sampled_feats = pooled[..., 6:]
+    else:
+        pooled, empty_flag = roipool3d(
+            rpn_xyz, pts_feature, batch_rois, float(rcnn_cfg.POOL_EXTRA_WIDTH),
+            int(rcnn_cfg.NUM_POINTS))
+        sampled_pts = pooled[..., 0:3]
+        sampled_feats = pooled[..., 3:]
 
     if aug_data:
         aug_keys = jax.random.split(k_pool_aug, B)
