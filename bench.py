@@ -157,16 +157,21 @@ def bench_train_e2e(n_steps: int = 100):
     n_frames = 2 * max(8 * batch_size, 128)  # train split gets half
     if not os.path.exists(os.path.join(data_root, "KITTI")):
         create_synthetic_kitti(data_root, n_frames=n_frames, image_files=True)
+    # device_rpn_labels: the jitted step derives cls/reg labels from
+    # gt_boxes3d on device (make_train_step), so the loader ships ~3 MB/step
+    # (points + boxes) instead of ~11.5 MB — through this environment's
+    # ~35 MB/s TPU tunnel that transfer was the dominant e2e overhead
     dataset = KittiRCNNDataset(
         root_dir=data_root, npoints=cfg.RPN.NUM_POINTS, split="train",
-        mode="TRAIN", classes=cfg.CLASSES, cfg=cfg, seed=0)
+        mode="TRAIN", classes=cfg.CLASSES, cfg=cfg, seed=0,
+        device_rpn_labels=True)
     # process workers MUST fork before the JAX/TPU client exists in them:
     # BatchLoader forks at construction from this (main) thread
     loader = BatchLoader(dataset, batch_size, shuffle=True,
                          num_workers=n_workers, drop_last=True, seed=0,
                          prefetch=4, worker_mode="process")
 
-    keys = ("pts_input", "gt_boxes3d", "rpn_cls_label", "rpn_reg_label")
+    keys = ("pts_input", "gt_boxes3d")
     first = next(iter(loader))
     model = PointRCNN(cfg=cfg, mode="TRAIN")
     state = create_train_state(
@@ -181,18 +186,20 @@ def bench_train_e2e(n_steps: int = 100):
         state, {k: first[k] for k in keys}, step_rng, 0.9)
     float(metrics["loss"])
 
-    # overlapped steady state: the loader prefetches on host processes while
-    # the device executes the previous step (dispatch is async; the one sync
-    # is the final loss pull)
+    # overlapped steady state: host processes prefetch scenes, a staging
+    # thread starts each batch's device transfer early (device_prefetch),
+    # and the device executes the previous step (dispatch is async; the one
+    # sync is the final loss pull)
+    from tpu3d.datasets import device_prefetch
+
     done = 0
     t0 = time.time()
     epoch = 0
     while done < n_steps:
         epoch += 1
         loader.set_epoch(epoch)
-        for batch in loader:
-            state, metrics = train_step(
-                state, {k: batch[k] for k in keys}, step_rng, 0.9)
+        for batch in device_prefetch(loader, size=3, keys=keys):
+            state, metrics = train_step(state, batch, step_rng, 0.9)
             done += 1
             if done >= n_steps:
                 break

@@ -36,7 +36,7 @@ class KittiRCNNDataset(KittiDataset):
                  rcnn_eval_feature_dir=None, rcnn_training_roi_dir=None,
                  rcnn_training_feature_dir=None, with_replace=False,
                  npoints_faraway=4000, subsample=-1, shuffle_subsample=None,
-                 seed=0):
+                 seed=0, device_rpn_labels=False):
         super().__init__(root_dir=root_dir, split=split, subsample=subsample,
                          shuffle_subsample=shuffle_subsample)
         from ..config import cfg as global_cfg
@@ -73,6 +73,10 @@ class KittiRCNNDataset(KittiDataset):
         self.npoints_faraway = npoints_faraway
         self.seed = seed
         self.epoch = 0
+        # skip host-side RPN label generation: the jitted train step derives
+        # cls/reg labels on device from gt_boxes3d (make_train_step), saving
+        # ~8 MB/step of host->device transfer at default batch 16
+        self.device_rpn_labels = bool(device_rpn_labels)
         self.aug_label_dir = os.path.join(aug_scene_root, "training", "aug_label")
         self.aug_pts_dir = os.path.join(aug_scene_root, "training",
                                         "rectified_data")
@@ -633,7 +637,7 @@ class KittiRCNNDataset(KittiDataset):
         sample_info["pts_rect"] = aug_pts_rect.astype(np.float32)
         sample_info["pts_features"] = pts_features
         sample_info["gt_boxes3d"] = self._pad_gt(aug_gt_boxes3d)
-        if not cfg.RPN.FIXED:
+        if not cfg.RPN.FIXED and not self.device_rpn_labels:
             cls_label, reg_label = self.generate_rpn_training_labels(
                 aug_pts_rect, aug_gt_boxes3d)
             sample_info["rpn_cls_label"] = cls_label

@@ -150,3 +150,51 @@ class BatchLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+def device_prefetch(iterable, size: int = 2, keys=None, put=None):
+    """Background-thread host->device staging for loader batches.
+
+    Pulls batches from ``iterable`` on a producer thread, starts their
+    transfer with ``jax.device_put`` (async: the copy proceeds while the
+    device executes earlier steps), and yields batches whose arrays are
+    already device-resident — so the jitted step's dispatch never blocks on
+    a host->device copy. The reference's torch loop gets the same overlap
+    from DataLoader workers + non_blocking CUDA copies
+    (tools/train_utils/train_utils.py:170-240).
+
+    :param iterable: yields dict-of-numpy batches (e.g. a BatchLoader)
+    :param size: bounded queue depth (batches in flight beyond the one
+        being consumed); 2 is enough to hide one transfer behind one step
+    :param keys: optional key subset to keep (drops non-array entries like
+        sample ids that device_put cannot stage)
+    :param put: optional staging fn (batch -> device batch); defaults to
+        ``jax.device_put``. Pass e.g. ``lambda b: shard_batch(mesh, b)`` to
+        stage with multi-chip shardings.
+    """
+    import jax  # local: keep this module importable without a jax backend
+
+    if put is None:
+        put = jax.device_put
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def produce():
+        try:
+            for batch in iterable:
+                if keys is not None:
+                    batch = {k: batch[k] for k in keys if k in batch}
+                q.put(put(batch))
+            q.put(sentinel)
+        except BaseException as e:  # surface producer errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item

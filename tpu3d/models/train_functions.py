@@ -10,7 +10,55 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.box_geometry import enlarge_box3d, points_in_boxes3d
 from .losses import dice_loss, get_reg_loss, sigmoid_focal_loss
+
+
+def generate_rpn_labels_device(pts_rect, gt_boxes3d):
+    """Device twin of the host loader's RPN label generation
+    (KittiRCNNDataset.generate_rpn_training_labels; reference:
+    lib/datasets/kitti_rcnn_dataset.py:384-414): per-point foreground/ignore
+    segmentation labels and box-regression targets, computed inside the
+    jitted train step from the zero-padded gt boxes.
+
+    Why on device: the host labels are (N,) int32 + (N, 7) f32 per scene —
+    at batch 16 x 16384 points that is ~8 MB/step of host->device traffic
+    carrying information derivable from the ~11 KB of gt boxes already in
+    the batch. Computing them on device is pure fixed-shape geometry (two
+    point-in-rotated-box tests on the MXU-friendly (N, M) grid).
+
+    Exact last-write-wins semantics of the host's per-box loop: for box k in
+    index order the host sets cls[in_box_k] = 1 then
+    cls[xor(in_box_k, in_ext_k)] = -1 and reg[in_box_k] = targets_k, so the
+    highest-index box touching a point decides its labels (a point touched
+    by box k gets +1 iff it is in both the box and its extension).
+
+    :param pts_rect: (N, 3) rect-frame points
+    :param gt_boxes3d: (M, 7) zero-padded gt boxes
+    :return: cls_label (N,) int32 in {-1, 0, 1}, reg_label (N, 7) f32
+    """
+    pts_rect = jnp.asarray(pts_rect)
+    gt_boxes3d = jnp.asarray(gt_boxes3d)
+    gt_valid = jnp.sum(jnp.abs(gt_boxes3d), axis=1) > 0  # zero rows = padding
+    inside = points_in_boxes3d(pts_rect, gt_boxes3d) & gt_valid[None, :]
+    extend = enlarge_box3d(gt_boxes3d, 0.2)
+    inside_ext = points_in_boxes3d(pts_rect, extend) & gt_valid[None, :]
+
+    idx = jnp.arange(gt_boxes3d.shape[0])
+    touched = inside | inside_ext
+    last_touch = jnp.max(jnp.where(touched, idx, -1), axis=1)  # (N,)
+    pos_at_last = jnp.take_along_axis(
+        inside & inside_ext, jnp.clip(last_touch, 0)[:, None], axis=1)[:, 0]
+    cls_label = jnp.where(
+        last_touch >= 0, jnp.where(pos_at_last, 1, -1), 0).astype(jnp.int32)
+
+    last_fg = jnp.max(jnp.where(inside, idx, -1), axis=1)
+    fg = last_fg >= 0
+    box = gt_boxes3d[jnp.clip(last_fg, 0)]  # (N, 7)
+    center3d = box[:, 0:3].at[:, 1].add(-box[:, 3] / 2.0)  # true box center
+    reg_label = jnp.concatenate([center3d - pts_rect, box[:, 3:7]], axis=1)
+    reg_label = jnp.where(fg[:, None], reg_label, 0.0)
+    return cls_label, reg_label
 
 
 def get_rpn_loss(cfg, rpn_cls, rpn_reg, rpn_cls_label, rpn_reg_label):

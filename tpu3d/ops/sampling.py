@@ -115,12 +115,22 @@ def _fps_pallas(xyz: jnp.ndarray, npoint: int,
 
         jax.lax.fori_loop(1, npoint, body, jnp.zeros((B,), jnp.int32))
 
+    # ~6-8 live (B, N) f32 temporaries in the loop body; the default ~19MB
+    # scoped-VMEM limit overflows at batch-16 eval's RCNN shape (1600, 512)
+    # (19.54M observed), so raise it with the footprint like _fps3nn_pallas
+    vmem_bytes = min(110 * 1024 * 1024,
+                     max(24 * 1024 * 1024, B * N * 4 * 10))
+    try:
+        params = pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
+    except AttributeError:  # older pallas API name
+        params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_bytes)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+        compiler_params=params,
         interpret=interpret,
     )(xyz_t)
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.train_functions import model_loss
+from ..models.train_functions import generate_rpn_labels_device, model_loss
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -174,6 +174,15 @@ def make_train_step(cfg, model):
         input_dict = {"pts_input": pts}
         if "gt_boxes3d" in batch:
             input_dict["gt_boxes3d"] = batch["gt_boxes3d"]
+        if (cfg.RPN.ENABLED and not cfg.RPN.FIXED
+                and "rpn_cls_label" not in batch):
+            # loader shipped no host labels (device_rpn_labels mode): derive
+            # them on device from the zero-padded gt boxes — ~8 MB/step less
+            # host->device traffic at default.yaml batch 16 (see
+            # generate_rpn_labels_device)
+            cls_l, reg_l = jax.vmap(generate_rpn_labels_device)(
+                pts[..., :3], batch["gt_boxes3d"])
+            batch = dict(batch, rpn_cls_label=cls_l, rpn_reg_label=reg_l)
 
         def loss_fn(params):
             out, mutated = model.apply(
