@@ -155,6 +155,61 @@ def test_nms_normal_vs_numpy(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_nms_blocked_matches_streaming(rng):
+    """nms_blocked_sorted (the proposal layer's slab walk) is bit-identical
+    to the one-row-per-iteration streaming walk: same keep set, same order,
+    across block sizes, rotated/aligned, validity holes, clustered (deep
+    suppression-chain) and spread candidates, and early-exit max_out."""
+    from tpu3d.ops.nms import nms_blocked_sorted, nms_streaming_sorted
+
+    n = 384
+    for trial in range(6):
+        boxes = np.zeros((n, 5), np.float32)
+        if trial % 2 == 0:  # clustered: near-duplicate boxes, deep chains
+            centers = rng.uniform(-25, 25, (12, 2))
+            ci = rng.integers(0, 12, n)
+            boxes[:, :2] = centers[ci] + rng.normal(0, 0.5, (n, 2))
+        else:
+            boxes[:, :2] = rng.uniform(-35, 35, (n, 2))
+        boxes[:, 2:4] = rng.uniform(1.5, 4.5, (n, 2))
+        boxes[:, 4] = rng.uniform(-math.pi, math.pi, n)
+        valid = rng.random(n) > 0.15
+        sb, sv = jnp.asarray(boxes), jnp.asarray(valid)
+        rot = trial % 2 == 0
+        thresh = [0.3, 0.7, 0.85][trial % 3]
+        for max_out in (16, 128):
+            a_i, a_m = nms_streaming_sorted(sb, sv, thresh, max_out,
+                                            rotated=rot)
+            for block in (64, 256, 512):
+                b_i, b_m = nms_blocked_sorted(sb, sv, thresh, max_out,
+                                              rotated=rot, block=block)
+                np.testing.assert_array_equal(np.asarray(a_m),
+                                              np.asarray(b_m))
+                np.testing.assert_array_equal(
+                    np.asarray(a_i)[np.asarray(a_m)],
+                    np.asarray(b_i)[np.asarray(b_m)])
+
+
+def test_nms_blocked_vs_numpy_oracle(rng):
+    """Blocked NMS against the host greedy oracle (sorted candidates, full
+    output budget so the oracle's variable-length keep list is comparable)."""
+    from tpu3d.ops.nms import nms_blocked_sorted
+
+    n = 200
+    boxes = np.stack([rng.uniform(-20, 20, n), rng.uniform(0, 40, n),
+                      rng.uniform(2, 5, n), rng.uniform(1, 2.5, n),
+                      rng.uniform(-math.pi, math.pi, n)], axis=1)
+    boxes = boxes.astype(np.float32)
+    scores = rng.permutation(n).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    ref = ops.nms_numpy(boxes[order], scores[order], 0.4, rotated=True)
+    idx, keep = nms_blocked_sorted(jnp.asarray(boxes[order]),
+                                   jnp.ones(n, bool), 0.4, n, rotated=True,
+                                   block=64)
+    got = np.asarray(idx)[np.asarray(keep)]
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_nms_respects_validity_mask():
     boxes = jnp.array(
         [[0.0, 0.0, 4.0, 2.0, 0.0], [100.0, 100.0, 4.0, 2.0, 0.0]]

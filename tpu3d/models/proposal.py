@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.nms import nms_streaming_sorted
+from ..ops.nms import nms_blocked_sorted
 from .bbox_codec import decode_bbox_target
 
 
@@ -40,9 +40,12 @@ def _band_nms(boxes7, scores, cand_mask, pre_k, post_k, nms_thresh, rotated):
     # BEV5 [xc, zc, l, w, ry]
     bev = jnp.stack([cand_boxes[:, 0], cand_boxes[:, 2], cand_boxes[:, 5],
                      cand_boxes[:, 4], cand_boxes[:, 6]], axis=1)
-    # candidates are already in descending-score order; stream rows + early exit
-    keep_idx, keep_mask = nms_streaming_sorted(bev, sel_mask, nms_thresh,
-                                               post_k, rotated=rotated)
+    # candidates are already in descending-score order; blocked greedy walk
+    # (exact, early-exits at post_k kept) — the one-row-per-iteration
+    # streaming loop was 1.6-44 us/candidate of while-loop latency at these
+    # shapes, the (256, pre_k) slab walk is ~2 ms flat (see ops/nms.py)
+    keep_idx, keep_mask = nms_blocked_sorted(bev, sel_mask, nms_thresh,
+                                             post_k, rotated=rotated)
     out_boxes = jnp.where(keep_mask[:, None], cand_boxes[keep_idx], 0.0)
     out_scores = jnp.where(keep_mask, cand_scores[keep_idx], 0.0)
     return out_boxes, out_scores, keep_mask

@@ -21,7 +21,8 @@ from .rotated_iou import (
     rotated_iou_bev_numpy,
     rotated_overlap_bev,
 )
-from .nms import nms_bev, nms_normal, nms_numpy, nms_rotated, nms_streaming_sorted
+from .nms import (nms_bev, nms_blocked_sorted, nms_normal, nms_numpy,
+                  nms_rotated, nms_streaming_sorted)
 from .sampling import (furthest_point_sample, furthest_point_sample_numpy,
                        furthest_point_sample_with_3nn, gather_points)
 from .grouping import ball_query, ball_query_numpy, group_points
@@ -38,7 +39,8 @@ __all__ = [
     "bev_corners_from_boxes3d", "corners_from_boxes3d", "enlarge_box3d",
     "points_in_boxes3d", "rotate_points_along_y", "boxes3d_to_bev5", "boxes_iou3d",
     "boxes_iou3d_numpy", "boxes_iou_bev", "rotated_iou_bev_numpy",
-    "rotated_overlap_bev", "nms_bev", "nms_normal", "nms_numpy", "nms_rotated",
+    "rotated_overlap_bev", "nms_bev", "nms_blocked_sorted", "nms_normal",
+    "nms_numpy", "nms_rotated", "nms_streaming_sorted",
     "furthest_point_sample", "furthest_point_sample_numpy",
     "furthest_point_sample_with_3nn", "nn_dist_from_idx", "gather_points",
     "ball_query", "ball_query_numpy", "group_points", "interpolation_weights",

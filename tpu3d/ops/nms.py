@@ -159,6 +159,106 @@ def nms_streaming_sorted(boxes5_sorted, valid_sorted, thresh, max_out: int,
     return out_idx, out_mask
 
 
+def _aligned_iou_cross(a5: jnp.ndarray, b5: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned IoU of (M, 5) vs (N, 5) BEV5 boxes -> (M, N)."""
+    ax1, ax2 = a5[:, 0] - a5[:, 2] / 2, a5[:, 0] + a5[:, 2] / 2
+    az1, az2 = a5[:, 1] - a5[:, 3] / 2, a5[:, 1] + a5[:, 3] / 2
+    bx1, bx2 = b5[:, 0] - b5[:, 2] / 2, b5[:, 0] + b5[:, 2] / 2
+    bz1, bz2 = b5[:, 1] - b5[:, 3] / 2, b5[:, 1] + b5[:, 3] / 2
+    iw = jnp.clip(jnp.minimum(ax2[:, None], bx2[None, :])
+                  - jnp.maximum(ax1[:, None], bx1[None, :]), 0, None)
+    ih = jnp.clip(jnp.minimum(az2[:, None], bz2[None, :])
+                  - jnp.maximum(az1[:, None], bz1[None, :]), 0, None)
+    inter = iw * ih
+    area_a = (ax2 - ax1) * (az2 - az1)
+    area_b = (bx2 - bx1) * (bz2 - bz1)
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-8)
+
+
+def nms_blocked_sorted(boxes5_sorted, valid_sorted, thresh, max_out: int,
+                       rotated: bool = False, block: int = 256):
+    """Exact greedy NMS over *score-sorted* candidates, processed in blocks.
+
+    Same contract and identical output as :func:`nms_streaming_sorted`, but
+    the IoU work is issued as (block, N) slabs instead of one (N,) row per
+    while-loop iteration: the streaming loop's per-candidate row launch runs
+    the rotated-IoU VPU program at tiny-op utilization (~29 us/candidate at
+    the RPN proposal shapes), while one slab amortizes it across `block`
+    candidates. Within a block the greedy keep set is resolved by fixpoint
+    iteration on the (block, block) upper triangle:
+
+        K_{t+1}[j] = base[j] & ~any_{i<j}(K_t[i] & IoU[i, j] > thresh)
+
+    Greedy's keep vector is the unique fixpoint of this map (induction over
+    positions), and iterate t carries every candidate whose suppression-chain
+    depth is <= t, so the loop converges in chain-depth steps (typically a
+    handful: a cluster dominated by its best box has depth 1) and is exact at
+    convergence — this is NOT the fixed-iteration approximate TPU NMS.
+
+    The outer while-loop early-exits once `max_out` candidates are kept,
+    exactly like the streaming walk (a slab's over-read past the exit point
+    only adds suppression that can no longer affect the full output).
+    """
+    n = boxes5_sorted.shape[0]
+    block = int(min(block, n))
+    n_blocks = -(-n // block)
+    n_pad = n_blocks * block
+    if n_pad != n:
+        boxes5_sorted = jnp.pad(boxes5_sorted, ((0, n_pad - n), (0, 0)))
+        valid_sorted = jnp.pad(valid_sorted, (0, n_pad - n))
+    col_ids = jnp.arange(n_pad, dtype=jnp.int32)
+    blk_arange = jnp.arange(block, dtype=jnp.int32)
+
+    def cond(state):
+        b, kept = state[0], state[1]
+        return (b < n_blocks) & (kept < max_out)
+
+    def body(state):
+        b, kept, suppressed, out_idx, out_mask = state
+        start = b * block
+        blk_boxes = jax.lax.dynamic_slice(boxes5_sorted, (start, 0),
+                                          (block, 5))
+        if rotated:
+            slab = rotated_overlap_bev(blk_boxes, boxes5_sorted, criterion=-1)
+        else:
+            slab = _aligned_iou_cross(blk_boxes, boxes5_sorted)
+        hit = slab > thresh  # (block, n_pad)
+        base = (jax.lax.dynamic_slice(valid_sorted, (start,), (block,))
+                & ~jax.lax.dynamic_slice(suppressed, (start,), (block,)))
+        tri = (jax.lax.dynamic_slice(hit, (0, start), (block, block))
+               & (blk_arange[None, :] > blk_arange[:, None]))
+
+        def fcond(c):
+            return ~c[1]
+
+        def fbody(c):
+            keep, _ = c
+            new = base & ~jnp.any(keep[:, None] & tri, axis=0)
+            return new, jnp.all(new == keep)
+
+        keep_blk, _ = jax.lax.while_loop(fcond, fbody,
+                                         (base, jnp.bool_(False)))
+
+        rows = start + blk_arange
+        k_rank = jnp.cumsum(keep_blk.astype(jnp.int32)) - 1
+        room = max_out - kept
+        take = keep_blk & (k_rank < room)
+        pos = jnp.where(take, kept + k_rank, max_out)  # max_out slot = drop
+        out_idx = out_idx.at[pos].set(rows, mode="drop")
+        out_mask = out_mask.at[pos].set(True, mode="drop")
+        suppressed = suppressed | jnp.any(
+            keep_blk[:, None] & hit & (col_ids[None, :] > rows[:, None]),
+            axis=0)
+        kept = kept + jnp.minimum(jnp.sum(keep_blk.astype(jnp.int32)), room)
+        return (b + 1, kept, suppressed, out_idx, out_mask)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.zeros(n_pad, dtype=bool),
+            jnp.zeros(max_out, dtype=jnp.int32),
+            jnp.zeros(max_out, dtype=bool))
+    _, _, _, out_idx, out_mask = jax.lax.while_loop(cond, body, init)
+    return out_idx, out_mask
+
+
 def nms_numpy(boxes5, scores, thresh, valid=None, rotated=True):
     """Host greedy NMS oracle; returns kept original indices (variable length)."""
     import numpy as np
